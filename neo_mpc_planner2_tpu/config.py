@@ -1,0 +1,154 @@
+"""Configuration for the TPU-native MPC engine.
+
+Mirrors every ROS parameter of the reference so reference configs port 1:1:
+
+- the 22 optimization-server parameters declared at
+  /root/reference/neo_mpc_planner2/mpc_optimization_server.py:49-75
+- the 3 plugin lookahead parameters + controller_frequency declared at
+  /root/reference/src/NeoMpcPlanner.cpp:311-323
+
+The config is a frozen dataclass registered as a *static* pytree leaf-free node so
+that it can close over jitted functions without retracing on value identity
+(hashable, compared by value). Weight *sweeps* are expressed by batching weight
+arrays through `WeightBatch` instead (see ops/objective.py), so a single compiled
+executable serves a whole weight grid.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Mapping
+
+__all__ = ["CompatConfig", "MpcConfig", "default_config", "config_from_ros_params"]
+
+
+@dataclasses.dataclass(frozen=True)
+class CompatConfig:
+    """Flags reproducing reference quirks (SURVEY.md §2.3) for oracle parity.
+
+    Every flag defaults to the *reference-faithful* behaviour so that parity tests
+    against the scipy SLSQP oracle pass bit-tolerantly; flip them off for the
+    "product" behaviour (what the reference evidently *meant* to do).
+    """
+
+    # mpc_optimization_server.py:213 — current-pose yaw computed with the GOAL
+    # pose's quaternion w instead of the current pose's own w.
+    buggy_odom_yaw: bool = True
+
+    # mpc_optimization_server.py:227,238-244 — `update_footprint.points` aliases
+    # `self.footprint.points`, and each vertex is restored in place, so the
+    # footprint cost term is evaluated on the UNTRANSFORMED current footprint
+    # (a per-solve constant), not the predicted one.
+    footprint_alias_noop: bool = True
+
+    # mpc_optimization_server.py:257-260 — if the sampled point cost is exactly
+    # 1.0 the squared cost is scaled by a hardcoded 1000 instead of w_costmap.
+    lethal_1000x: bool = True
+
+    # mpc_optimization_server.py:253-254 — control cost multiplies the norm
+    # (NOT norm²) of the velocity delta. Kept either way; flag reserved for a
+    # future smoothed product objective.
+    unsquared_control_cost: bool = True
+
+    # mpc_optimization_server.py:251,267 — orientation errors are raw
+    # differences with no wrap to [-pi, pi].
+    no_angle_wrap: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class MpcConfig:
+    """All tunables of the engine. Field names match the reference ROS params."""
+
+    # --- acceleration limits (py:49-51; README.md:53-55) ---
+    acc_x_limit: float = 0.5
+    acc_y_limit: float = 0.5
+    acc_theta_limit: float = 0.5
+
+    # --- velocity bounds (py:53-61) ---
+    min_vel_x: float = -0.5
+    min_vel_y: float = -0.5
+    min_vel_trans: float = 0.5  # declared but unused by the reference (py:55, §2.3.12)
+    min_vel_theta: float = -0.5
+    max_vel_x: float = 0.5
+    max_vel_y: float = 0.5
+    max_vel_trans: float = 0.5
+    max_vel_theta: float = 0.5
+
+    # --- cost weights (py:63-68) ---
+    w_trans: float = 0.5
+    w_orient: float = 0.5
+    w_control: float = 0.5
+    w_terminal: float = 0.5
+    w_costmap: float = 0.5
+    w_footprint: float = 2000.0
+
+    # --- control post-processing (py:70-72) ---
+    waiting_time: float = 3.0  # stuck-wait threshold; reference hardcodes 3.0 (py:380)
+    low_pass_gain: float = 0.5
+    opt_tolerance: float = 1e-5
+
+    # --- horizon (py:73-75) ---
+    prediction_horizon: float = 0.5
+    control_steps: int = 3
+
+    # --- plugin params (cpp:311-323) ---
+    lookahead_dist_min: float = 0.5
+    lookahead_dist_max: float = 0.5
+    lookahead_dist_close_to_goal: float = 0.5
+    controller_frequency: float = 30.0
+
+    # --- engine-only knobs (no reference equivalent) ---
+    # Max solver iterations for the projected-gradient SQP (device solver).
+    solver_max_iters: int = 200
+    # Dykstra iterations for the box∩disk projection.
+    projection_iters: int = 20
+    # Footprint polygon is padded to this many vertices (static shape).
+    max_footprint_vertices: int = 8
+    # Samples per footprint edge for the line cost (static shape).
+    footprint_edge_samples: int = 32
+    # Transformed-plan window is padded to this many poses (static shape).
+    max_plan_points: int = 128
+    # Compatibility quirks toggle.
+    compat: CompatConfig = dataclasses.field(default_factory=CompatConfig)
+
+    # ------------------------------------------------------------------
+    @property
+    def dt(self) -> float:
+        """Integration interval (py:137)."""
+        return self.prediction_horizon / self.control_steps
+
+    @property
+    def control_interval(self) -> float:
+        """Service-request control interval (cpp:246)."""
+        return 1.0 / self.controller_frequency
+
+    def replace(self, **kw: Any) -> "MpcConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# ROS parameter name -> MpcConfig field for names that differ.
+_ROS_ALIASES = {
+    "control_steps": "control_steps",
+    "w_costmap": "w_costmap",
+    "w_footprint": "w_footprint",
+}
+
+
+def default_config() -> MpcConfig:
+    return MpcConfig()
+
+
+def config_from_ros_params(params: Mapping[str, Any]) -> MpcConfig:
+    """Build a config from a flat dict using the reference's ROS parameter names.
+
+    Accepts both the server params (mpc_optimization_server.py:49-75) and the
+    plugin params (NeoMpcPlanner.cpp:311-323). Unknown keys are ignored so a
+    full navigation.yaml section can be passed straight through.
+    """
+    fields = {f.name for f in dataclasses.fields(MpcConfig)}
+    kw = {}
+    for key, value in params.items():
+        name = _ROS_ALIASES.get(key, key)
+        if name in fields and name != "compat":
+            kw[name] = value
+    return MpcConfig(**kw)

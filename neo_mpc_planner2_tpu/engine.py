@@ -1,0 +1,252 @@
+"""The MPC engine: one pure, batched, device-resident controller step.
+
+Collapses the reference's entire two-process tick — C++ plugin geometry
+(NeoMpcPlanner.cpp:202-254) → blocking ROS service (cpp:248-250) → Python
+SLSQP server with post-processing (mpc_optimization_server.py:349-403) — into a
+single jittable function of (config, state, inputs). The stateful control-loop
+memory the reference keeps in the server (initial_guess py:136, last_control
+py:117, waiting_time py:361, old_goal py:146) and in the plugin (slow_down_
+h:162, consumed plan prefix cpp:127) lives in one explicit `ControlState`
+pytree, so it is batchable over scenarios, shardable over a mesh, and trivially
+checkpointable.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from .config import MpcConfig
+from .ops.costmap import Costmap, cost_at_world
+from .ops.footprint import Footprint, footprint_cost, transform_footprint
+from .ops.objective import Scenario, make_objective
+from .ops.pursuit import Plan, pursuit_tick
+from .ops.rollout import rollout
+from .solver import make_solver
+
+__all__ = ["ControlState", "StepResult", "init_state", "solve_step", "controller_step", "MpcEngine"]
+
+
+@flax.struct.dataclass
+class ControlState:
+    """Per-scenario persistent control-loop memory (SURVEY.md §5 checkpoint row)."""
+
+    initial_guess: jnp.ndarray   # (3N,) warm start (py:136)
+    last_control: jnp.ndarray    # (3,) previous command (py:117)
+    waiting_time: jnp.ndarray    # () stuck-wait accumulator (py:361)
+    collision: jnp.ndarray       # () bool — sticky predicted-collision latch (py:339)
+    old_goal: jnp.ndarray        # (3,) goal of the previous tick (py:146)
+    has_old_goal: jnp.ndarray    # () bool — False forces the first-call reset
+    slow_down: jnp.ndarray       # () bool — plugin hysteresis (h:162, init true)
+    plan_start: jnp.ndarray      # () int32 — consumed plan prefix (cpp:127)
+
+
+def init_state(cfg: MpcConfig) -> ControlState:
+    n = cfg.control_steps
+    return ControlState(
+        initial_guess=jnp.zeros(3 * n, jnp.float32),
+        last_control=jnp.zeros(3, jnp.float32),
+        waiting_time=jnp.float32(0.0),
+        collision=jnp.asarray(False),
+        old_goal=jnp.zeros(3, jnp.float32),
+        has_old_goal=jnp.asarray(False),
+        slow_down=jnp.asarray(True),
+        plan_start=jnp.int32(0),
+    )
+
+
+class StepResult(NamedTuple):
+    cmd_vel: jnp.ndarray          # (3,) the answer — output_vel.twist equivalent
+    state: ControlState           # updated persistent state
+    raw_solution: jnp.ndarray     # (3N,) solver output before filtering
+    solver_converged: jnp.ndarray
+    solver_iters: jnp.ndarray
+    fun: jnp.ndarray              # final objective value
+    collision: jnp.ndarray        # predicted-collision latch after this tick
+    collision_footprint: jnp.ndarray
+    lethal: jnp.ndarray           # plugin-side hard stop (cpp:234-236)
+    carrot_pose: jnp.ndarray
+    closer_to_goal: jnp.ndarray
+    local_plan: jnp.ndarray       # (N, 3) predicted odom trajectory (py:271-310 analogue)
+
+
+def _shift_warm_start(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """initial_guess_update (py:198-202): shift controls left one step, wrap the
+    (low-passed) first control to the back."""
+    xs = x.reshape(n, 3)
+    shifted = jnp.concatenate([xs[1:], xs[:1]], axis=0)
+    return shifted.reshape(-1)
+
+
+def solve_step(
+    cfg: MpcConfig,
+    state: ControlState,
+    scen: Scenario,
+    delta_t: jnp.ndarray,
+    *,
+    parity: bool = True,
+    solver=None,
+) -> StepResult:
+    """The optimization-server half of the tick (py:349-403), pure.
+
+    delta_t: wall-clock seconds since the previous tick — the reference derives
+    it from time.time() (py:369-371); under jit it is an explicit input.
+    """
+    n = cfg.control_steps
+
+    # --- new-goal reset (py:357-361) ---
+    same_goal = state.has_old_goal & jnp.all(state.old_goal == scen.goal_pose)
+    guess = jnp.where(same_goal, state.initial_guess, jnp.zeros_like(state.initial_guess))
+    last_control = jnp.where(same_goal, state.last_control, jnp.zeros_like(state.last_control))
+    waiting_time = jnp.where(same_goal, state.waiting_time, 0.0)
+
+    # --- solve (py:363-364) ---
+    if solver is None:
+        # SQP is the SLSQP-parity solver (sqp.py); the prox-FISTA path
+        # (solver.py) serves the smooth product objective.
+        from .sqp import make_sqp_solver
+
+        solver = make_sqp_solver(cfg, make_objective(cfg, parity=parity))
+    res = solver(guess, scen)
+
+    # --- low-pass the first control only (py:366-367) ---
+    g = jnp.asarray(cfg.low_pass_gain, res.x.dtype)
+    first = res.x[:3] * g + last_control * (1.0 - g)
+    x = res.x.at[:3].set(first)
+
+    # --- predicted-collision check (py:312-347): correct-yaw odom rollout ---
+    odom_traj = rollout(x.reshape(n, 3), jnp.asarray(cfg.dt, x.dtype), scen.current_pose)
+    point_costs = cost_at_world(scen.costmap, odom_traj[:, 0], odom_traj[:, 1])
+    detected = jnp.any(point_costs >= 0.99)
+    collision = state.collision | detected
+    # Goal reset does NOT clear the collision latch in the reference; keep as-is.
+
+    fp_world = transform_footprint(scen.current_pose, scen.footprint)
+    fp_cost = footprint_cost(scen.costmap, fp_world, cfg.footprint_edge_samples)
+    collision_footprint = fp_cost == 1.0
+
+    # --- stuck-wait vs acceleration clamp (py:374-391) ---
+    blocked = collision | collision_footprint
+    waiting_time = jnp.where(blocked, waiting_time + delta_t, waiting_time)
+    # Hardcoded 3.0 s threshold (py:380; the waiting_time *param* is hijacked
+    # as the accumulator — SURVEY.md §2.3.6).
+    expire = blocked & (waiting_time >= 3.0)
+    collision = jnp.where(expire, False, collision)
+    waiting_time = jnp.where(expire, 0.0, waiting_time)
+
+    ci = jnp.asarray(cfg.control_interval, x.dtype)
+    acc = jnp.array([cfg.acc_x_limit, cfg.acc_y_limit, cfg.acc_theta_limit], x.dtype) * ci
+    clamped = jnp.maximum(jnp.minimum(x[:3], last_control + acc), last_control - acc)
+    cmd = jnp.where(blocked, jnp.zeros(3, x.dtype), clamped)
+
+    # --- persist (py:393-400) ---
+    new_guess = jnp.where(res.converged, _shift_warm_start(x, n), x)
+    new_state = ControlState(
+        initial_guess=new_guess,
+        last_control=cmd,
+        waiting_time=waiting_time,
+        collision=collision,
+        old_goal=scen.goal_pose,
+        has_old_goal=jnp.asarray(True),
+        slow_down=state.slow_down,
+        plan_start=state.plan_start,
+    )
+    return StepResult(
+        cmd_vel=cmd,
+        state=new_state,
+        raw_solution=res.x,
+        solver_converged=res.converged,
+        solver_iters=res.iters,
+        fun=res.fun,
+        collision=collision,
+        collision_footprint=collision_footprint,
+        lethal=jnp.asarray(False),
+        carrot_pose=scen.carrot_pose,
+        closer_to_goal=scen.switch_opt,
+        local_plan=odom_traj,
+    )
+
+
+def controller_step(
+    cfg: MpcConfig,
+    state: ControlState,
+    plan: Plan,
+    robot_pose: jnp.ndarray,
+    current_vel: jnp.ndarray,
+    costmap: Costmap,
+    base_footprint: Footprint,
+    delta_t: jnp.ndarray,
+    *,
+    parity: bool = True,
+    solver=None,
+) -> StepResult:
+    """The FULL tick: plugin geometry + solve + post-processing.
+
+    Equivalent of computeVelocityCommands (cpp:202-254) with the service hop
+    replaced by an in-graph call. The cpp:234-236 ControllerException becomes
+    the `lethal` flag (host decides whether to raise).
+    """
+    pr = pursuit_tick(
+        cfg, plan, state.plan_start, state.slow_down, robot_pose, costmap, base_footprint
+    )
+    scen = Scenario(
+        current_pose=robot_pose,
+        carrot_pose=pr.carrot_pose,
+        goal_pose=plan.goal(),
+        current_vel=current_vel,
+        footprint=base_footprint,
+        costmap=costmap,
+        switch_opt=pr.closer_to_goal,
+    )
+    state = state.replace(slow_down=pr.slow_down, plan_start=pr.new_start)
+    out = solve_step(cfg, state, scen, delta_t, parity=parity, solver=solver)
+    # Plugin-side hard stop (cpp:234-236): zero the command, surface the flag.
+    cmd = jnp.where(pr.lethal, jnp.zeros_like(out.cmd_vel), out.cmd_vel)
+    return out._replace(
+        cmd_vel=cmd,
+        lethal=pr.lethal,
+        carrot_pose=pr.carrot_pose,
+        closer_to_goal=pr.closer_to_goal,
+    )
+
+
+class MpcEngine:
+    """Convenience wrapper: jitted single-robot and batched steps.
+
+    >>> eng = MpcEngine(cfg)
+    >>> state = eng.init_state()
+    >>> out = eng.step(state, plan, robot_pose, vel, costmap, footprint, dt)
+    """
+
+    def __init__(self, cfg: MpcConfig, parity: bool = True):
+        self.cfg = cfg
+        self.parity = parity
+
+        def _step(state, plan, robot_pose, current_vel, costmap, footprint, delta_t):
+            return controller_step(
+                cfg, state, plan, robot_pose, current_vel, costmap, footprint,
+                delta_t, parity=parity,
+            )
+
+        self._step = jax.jit(_step)
+        # vmap over every per-scenario argument; config is closed over.
+        self._batch_step = jax.jit(jax.vmap(_step))
+
+    def init_state(self) -> ControlState:
+        return init_state(self.cfg)
+
+    def init_batch_state(self, batch: int) -> ControlState:
+        return jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (batch,) + x.shape), init_state(self.cfg)
+        )
+
+    def step(self, state, plan, robot_pose, current_vel, costmap, footprint, delta_t):
+        return self._step(state, plan, robot_pose, current_vel, costmap, footprint,
+                          jnp.asarray(delta_t, jnp.float32))
+
+    def batch_step(self, state, plan, robot_pose, current_vel, costmap, footprint, delta_t):
+        return self._batch_step(state, plan, robot_pose, current_vel, costmap,
+                                footprint, delta_t)

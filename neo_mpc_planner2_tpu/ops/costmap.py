@@ -1,0 +1,116 @@
+"""Device-resident 2-D costmap.
+
+TPU-native replacement for the external `neo_nav2_py_costmap2D.Costmap2d`
+(imported at mpc_optimization_server.py:36; used at :246-247, :257, :262, :333,
+:343) and the nav2 C++ `Costmap2D` (NeoMpcPlanner.h:144). Costs are normalized
+to [0, 1] with 1.0 = lethal, matching the Python server's scale (py:257, :338).
+
+The costmap is a plain pytree of arrays so a whole batch of scenarios can carry
+independent obstacle maps (batched leading dims broadcast through every query),
+and the map lives in HBM/VMEM instead of being queried cell-by-cell over a
+Python loop.
+
+Conventions chosen for this framework (the external reference lib is not in the
+repo; the oracle in `oracle.py` uses the *same* conventions so parity is exact):
+
+- `world_to_map` truncates toward zero after subtracting the origin
+  (nav2 Costmap2D::worldToMap semantics: mx = (int)((wx - origin_x) / res)).
+- Out-of-bounds queries return lethal cost 1.0 (nav2 returns NO_INFORMATION=255
+  for unknown space; normalized that is 1.0).
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax.numpy as jnp
+
+__all__ = ["Costmap", "world_to_map", "cost_at_cell", "cost_at_world", "cost_at_world_bilinear"]
+
+LETHAL_COST = 1.0
+
+
+@flax.struct.dataclass
+class Costmap:
+    """Normalized costmap grid.
+
+    data:       (H, W) float32 in [0, 1]; row = y cell, col = x cell.
+    origin:     (2,) world coordinates of the (0, 0) cell corner.
+    resolution: () meters per cell.
+    """
+
+    data: jnp.ndarray
+    origin: jnp.ndarray
+    resolution: jnp.ndarray
+
+    @staticmethod
+    def create(data, origin=(0.0, 0.0), resolution=0.05) -> "Costmap":
+        return Costmap(
+            data=jnp.asarray(data, jnp.float32),
+            origin=jnp.asarray(origin, jnp.float32),
+            resolution=jnp.asarray(resolution, jnp.float32),
+        )
+
+    @property
+    def shape(self):
+        return self.data.shape
+
+    def extent_world(self):
+        """Half extent used by plan pruning (NeoMpcPlanner.cpp:80-82):
+        max(size_cells_x, size_cells_y) * resolution / 2."""
+        h, w = self.data.shape[-2], self.data.shape[-1]
+        return jnp.maximum(h, w) * self.resolution / 2.0
+
+
+def world_to_map(cm: Costmap, wx: jnp.ndarray, wy: jnp.ndarray):
+    """World → integer cell indices, truncating toward zero.
+
+    Mirrors Costmap2d.getWorldToMap (used at mpc_optimization_server.py:246).
+    Returns raw (possibly out-of-range) indices; bounds handling happens in
+    cost_at_cell so the out-of-bounds policy lives in one place.
+    """
+    mx = jnp.int32((wx - cm.origin[..., 0]) / cm.resolution)
+    my = jnp.int32((wy - cm.origin[..., 1]) / cm.resolution)
+    return mx, my
+
+
+def cost_at_cell(cm: Costmap, mx: jnp.ndarray, my: jnp.ndarray) -> jnp.ndarray:
+    """Cell cost with lethal out-of-bounds (Costmap2d.getCost equivalent,
+    mpc_optimization_server.py:247)."""
+    h, w = cm.data.shape[-2], cm.data.shape[-1]
+    in_bounds = (mx >= 0) & (mx < w) & (my >= 0) & (my < h)
+    mxc = jnp.clip(mx, 0, w - 1)
+    myc = jnp.clip(my, 0, h - 1)
+    val = cm.data[..., myc, mxc]
+    return jnp.where(in_bounds, val, LETHAL_COST)
+
+
+def cost_at_world(cm: Costmap, wx: jnp.ndarray, wy: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-cell world-coordinate lookup — the reference's sampling mode
+    (getWorldToMap + getCost, mpc_optimization_server.py:246-247)."""
+    mx, my = world_to_map(cm, wx, wy)
+    return cost_at_cell(cm, mx, my)
+
+
+def cost_at_world_bilinear(cm: Costmap, wx: jnp.ndarray, wy: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear world-coordinate sampling (product mode; BASELINE.json config 3).
+
+    Smooth in (wx, wy) so jax.grad of the costmap term gives a useful descent
+    direction instead of the zero-almost-everywhere gradient of nearest-cell
+    sampling. Samples at cell centers.
+    """
+    fx = (wx - cm.origin[..., 0]) / cm.resolution - 0.5
+    fy = (wy - cm.origin[..., 1]) / cm.resolution - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = fx - x0
+    ty = fy - y0
+    x0i = jnp.int32(x0)
+    y0i = jnp.int32(y0)
+
+    c00 = cost_at_cell(cm, x0i, y0i)
+    c10 = cost_at_cell(cm, x0i + 1, y0i)
+    c01 = cost_at_cell(cm, x0i, y0i + 1)
+    c11 = cost_at_cell(cm, x0i + 1, y0i + 1)
+    top = c00 * (1.0 - tx) + c10 * tx
+    bot = c01 * (1.0 - tx) + c11 * tx
+    return top * (1.0 - ty) + bot * ty

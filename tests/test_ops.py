@@ -1,0 +1,146 @@
+"""Unit tests for the kernel-level ops: SE(2), rollout, costmap, footprint.
+
+Strategy per SURVEY.md §4: each device op is checked against a closed form or
+an independent numpy computation.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import neo_mpc_planner2_tpu as mpc
+from neo_mpc_planner2_tpu.ops import se2
+from neo_mpc_planner2_tpu.oracle import NpCostmap, _rollout_np
+
+
+class TestSe2:
+    def test_yaw_quat_roundtrip(self):
+        yaws = jnp.linspace(-3.0, 3.0, 13)
+        q = se2.quat_from_yaw(yaws)
+        back = se2.yaw_from_quat(q)
+        np.testing.assert_allclose(back, yaws, atol=1e-6)
+
+    def test_compose_inverse(self):
+        a = jnp.array([1.0, 2.0, 0.7])
+        ident = se2.se2_compose(a, se2.se2_inverse(a))
+        np.testing.assert_allclose(ident, jnp.zeros(3), atol=1e-6)
+
+    def test_world_body_roundtrip(self):
+        robot = jnp.array([2.0, -1.0, 1.2])
+        p = jnp.array([3.0, 0.5, -0.4])
+        body = se2.world_to_body(robot, p)
+        back = se2.body_to_world(robot, body)
+        np.testing.assert_allclose(back, p, atol=1e-6)
+
+    def test_wrap_angle(self):
+        np.testing.assert_allclose(se2.wrap_angle(jnp.float32(jnp.pi + 0.1)),
+                                   -jnp.pi + 0.1, atol=1e-6)
+
+
+class TestRollout:
+    def test_matches_numpy_integrator(self):
+        cmd = np.array([[0.3, -0.1, 0.4], [0.2, 0.2, -0.3], [-0.1, 0.0, 0.1]])
+        init = np.array([1.0, -0.5, 0.3])
+        expected = _rollout_np(cmd, 0.8 / 3, init)
+        got = mpc.rollout(jnp.asarray(cmd, jnp.float32), jnp.float32(0.8 / 3),
+                          jnp.asarray(init, jnp.float32))
+        np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+    def test_pure_rotation_keeps_position(self):
+        cmd = jnp.array([[0.0, 0.0, 0.5]] * 3)
+        traj = mpc.rollout(cmd, jnp.float32(0.1), jnp.zeros(3))
+        np.testing.assert_allclose(traj[:, :2], 0.0, atol=1e-7)
+        np.testing.assert_allclose(traj[:, 2], [0.05, 0.10, 0.15], atol=1e-6)
+
+    def test_straight_line_closed_form(self):
+        # No rotation: x advances vx*dt per step.
+        cmd = jnp.array([[0.4, 0.0, 0.0]] * 3)
+        traj = mpc.rollout(cmd, jnp.float32(0.25), jnp.zeros(3))
+        np.testing.assert_allclose(traj[:, 0], [0.1, 0.2, 0.3], atol=1e-6)
+
+    def test_grad_flows(self):
+        def loss(cmd):
+            return jnp.sum(mpc.rollout(cmd, jnp.float32(0.1), jnp.zeros(3)) ** 2)
+
+        g = jax.grad(loss)(jnp.ones((3, 3)))
+        assert np.all(np.isfinite(g))
+
+
+class TestCostmap:
+    def test_lookup_matches_oracle(self):
+        rng = np.random.default_rng(0)
+        data = rng.uniform(0, 1, (30, 20))
+        cm = mpc.Costmap.create(data, origin=(-0.3, -0.7), resolution=0.05)
+        npcm = NpCostmap(data, np.array([-0.3, -0.7]), 0.05)
+        pts = rng.uniform(-1.2, 1.2, (200, 2))
+        got = mpc.cost_at_world(cm, jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1]))
+        want = [npcm.get_cost_world(x, y) for x, y in pts]
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_out_of_bounds_is_lethal(self):
+        cm = mpc.Costmap.create(np.zeros((10, 10)), origin=(0.0, 0.0), resolution=0.1)
+        assert float(mpc.cost_at_world(cm, jnp.float32(-0.5), jnp.float32(0.5))) == 1.0
+        assert float(mpc.cost_at_world(cm, jnp.float32(5.0), jnp.float32(0.5))) == 1.0
+
+    def test_bilinear_interpolates(self):
+        data = np.zeros((4, 4))
+        data[1, 1] = 1.0
+        cm = mpc.Costmap.create(data, origin=(0.0, 0.0), resolution=1.0)
+        # Cell centers at (1.5, 1.5); halfway toward (2.5, 1.5) should be 0.5.
+        v = float(mpc.cost_at_world_bilinear(cm, jnp.float32(2.0), jnp.float32(1.5)))
+        assert abs(v - 0.5) < 1e-6
+
+    def test_bilinear_grad_nonzero(self):
+        data = np.zeros((8, 8))
+        data[4, 4] = 1.0
+        cm = mpc.Costmap.create(data, origin=(0.0, 0.0), resolution=0.5)
+        g = jax.grad(lambda x: mpc.cost_at_world_bilinear(cm, x, jnp.float32(2.25)))(
+            jnp.float32(2.0)
+        )
+        assert abs(float(g)) > 0.0
+
+
+class TestFootprint:
+    def test_rect_vertices(self):
+        fp = mpc.Footprint.rectangle(0.6, 0.4)
+        assert int(fp.n_valid) == 4
+        np.testing.assert_allclose(fp.vertices[0], [0.3, 0.2])
+
+    def test_clear_map_cost_zero(self, empty_costmap, footprint):
+        c = mpc.footprint_cost(empty_costmap, footprint, samples=8)
+        assert float(c) == 0.0
+
+    def test_detects_obstacle_on_edge(self):
+        data = np.zeros((40, 40))
+        data[20, 26] = 1.0  # world ~ (0.325, 0.025) with origin (-1,-1) res 0.05
+        cm = mpc.Costmap.create(data, origin=(-1.0, -1.0), resolution=0.05)
+        fp = mpc.Footprint.rectangle(0.7, 0.1)
+        # Edge passes through the lethal cell.
+        c = mpc.footprint_cost(cm, fp, samples=64)
+        assert float(c) == 1.0
+
+    def test_matches_oracle_sampling(self):
+        rng = np.random.default_rng(1)
+        data = rng.uniform(0, 0.9, (40, 40))
+        cm = mpc.Costmap.create(data, origin=(-1.0, -1.0), resolution=0.05)
+        npcm = NpCostmap(data, np.array([-1.0, -1.0]), 0.05)
+        # Off-grid vertices: on exact cell boundaries f32-vs-f64 truncation
+        # legitimately picks different cells, so keep the polygon mid-cell.
+        poly = np.array([[0.31, 0.21], [-0.29, 0.21], [-0.29, -0.19], [0.31, -0.19]])
+        fp = mpc.Footprint.create(poly)
+        got = float(mpc.footprint_cost(cm, fp, samples=8))
+        want = npcm.footprint_cost(poly, samples=8)
+        assert abs(got - want) < 1e-6
+
+    def test_transform_matches_pose(self, footprint_np):
+        fp = mpc.Footprint.create(footprint_np)
+        pose = jnp.array([1.0, 2.0, np.pi / 2])
+        moved = mpc.transform_footprint(pose, fp)
+        # First vertex (0.3, 0.2) -> rotate 90° -> (-0.2, 0.3) + (1, 2).
+        np.testing.assert_allclose(moved.vertices[0], [0.8, 2.3], atol=1e-6)
+
+    def test_padding_excluded(self):
+        fp = mpc.Footprint.create([[0.1, 0.1], [-0.1, 0.1], [0.0, -0.1]], max_vertices=8)
+        cm = mpc.Costmap.create(np.zeros((40, 40)), origin=(-1.0, -1.0), resolution=0.05)
+        assert float(mpc.footprint_cost(cm, fp, samples=8)) == 0.0

@@ -1,0 +1,182 @@
+"""Solver tests: projection/prox operators against scipy ground truth, and the
+SQP solver against the scipy SLSQP oracle (SURVEY.md §4 oracle strategy).
+
+Parity criterion: at tight tolerance both solvers should land on the same KKT
+point on well-conditioned scenarios (raw-x match); on adversarial scenarios the
+objective is nearly flat along some directions, so the meaningful assertion is
+that our final objective is never worse than scipy's beyond tolerance.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from scipy.optimize import minimize
+
+import neo_mpc_planner2_tpu as mpc
+from neo_mpc_planner2_tpu.oracle import NpCostmap, NpScenario, OracleServer
+from neo_mpc_planner2_tpu.solver import prox_g
+from neo_mpc_planner2_tpu.ops.objective import control_cost
+
+
+def _scipy_project(z, cfg):
+    """Ground-truth projection onto box ∩ disk via scipy."""
+    n = cfg.control_steps
+    bnds, cons = [], []
+    for i in range(n):
+        bnds += [(cfg.min_vel_x, cfg.max_vel_x), (cfg.min_vel_y, cfg.max_vel_y),
+                 (cfg.min_vel_theta, cfg.max_vel_theta)]
+        cons.append({"type": "ineq",
+                     "fun": lambda u, i=i: cfg.max_vel_trans
+                     - np.sqrt(u[3 * i] ** 2 + u[3 * i + 1] ** 2)})
+    r = minimize(lambda u: 0.5 * np.sum((u - z) ** 2), np.clip(z, -10, 10),
+                 method="SLSQP", bounds=bnds, constraints=cons,
+                 options={"ftol": 1e-12})
+    return r.x
+
+
+class TestProjection:
+    def test_interior_point_unchanged(self, cfg):
+        z = jnp.asarray(np.full(9, 0.1), jnp.float32)
+        np.testing.assert_allclose(mpc.project_feasible(z, cfg), z, atol=1e-6)
+
+    def test_matches_scipy(self, cfg):
+        rng = np.random.default_rng(3)
+        for _ in range(5):
+            z = rng.uniform(-2, 2, 9)
+            got = mpc.project_feasible(jnp.asarray(z, jnp.float32), cfg)
+            want = _scipy_project(z, cfg)
+            np.testing.assert_allclose(got, want, atol=2e-4)
+
+    def test_respects_disk(self, cfg):
+        z = jnp.asarray([5.0, 5.0, 0.0] * 3, jnp.float32)
+        p = np.asarray(mpc.project_feasible(z, cfg)).reshape(3, 3)
+        for row in p:
+            assert np.hypot(row[0], row[1]) <= cfg.max_vel_trans + 1e-5
+
+
+class TestProxG:
+    def test_matches_scipy_prox(self, cfg):
+        """prox of tau·Σ‖u_i − v‖ + indicator vs scipy on the same problem."""
+        rng = np.random.default_rng(5)
+        v = np.array([0.5, 0.2, 0.1])
+        for tau in [0.01, 0.1, 0.5]:
+            z = rng.uniform(-1.5, 1.5, 9)
+            got = prox_g(jnp.asarray(z, jnp.float32), jnp.float32(tau),
+                         jnp.asarray(v, jnp.float32), cfg)
+            n = cfg.control_steps
+            bnds, cons = [], []
+            for i in range(n):
+                bnds += [(cfg.min_vel_x, cfg.max_vel_x),
+                         (cfg.min_vel_y, cfg.max_vel_y),
+                         (cfg.min_vel_theta, cfg.max_vel_theta)]
+                cons.append({"type": "ineq",
+                             "fun": lambda u, i=i: cfg.max_vel_trans
+                             - np.sqrt(u[3 * i] ** 2 + u[3 * i + 1] ** 2)})
+            obj = lambda u: 0.5 * np.sum((u - z) ** 2) + tau * sum(
+                np.linalg.norm(u[3 * i:3 * i + 3] - v) for i in range(n))
+            want = minimize(obj, np.zeros(9), method="SLSQP", bounds=bnds,
+                            constraints=cons, options={"ftol": 1e-12}).x
+            np.testing.assert_allclose(got, want, atol=3e-3)
+
+
+def _curated_cases():
+    return [
+        ([0.0, 0.0, 0.0], [0.4, 0.1, 0.2], [1.0, 0.5, 0.3]),
+        ([0.3, 0.0, 0.0], [0.4, 0.1, 0.2], [1.0, 0.5, 0.3]),
+        ([0.5, 0.2, 0.1], [0.6, -0.2, -0.4], [1.5, -0.5, -0.6]),
+        ([0.2, 0.1, 0.0], [0.05, 0.02, 0.0], [0.1, 0.05, 0.0]),
+        ([0.0, 0.0, 0.5], [0.1, 0.5, 1.2], [0.5, 1.0, 1.5]),
+        ([-0.4, 0.3, -0.2], [-0.5, 0.4, 0.9], [-1.0, 1.0, 1.2]),
+    ]
+
+
+class TestSqpVsOracle:
+    @pytest.fixture(scope="class")
+    def tight_cfg(self, cfg):
+        return cfg.replace(opt_tolerance=1e-8)
+
+    @pytest.fixture(scope="class")
+    def solver(self, tight_cfg):
+        return jax.jit(mpc.make_sqp_solver(
+            tight_cfg, mpc.make_objective(tight_cfg), ftol=1e-8, max_iters=300))
+
+    def test_curated_commands_match(self, tight_cfg, solver, empty_costmap,
+                                    footprint, footprint_np):
+        npcm = NpCostmap(np.zeros((40, 40)), np.array([-1.0, -1.0]), 0.05)
+        for vel, carrot, goal in _curated_cases():
+            scen = mpc.Scenario.create([0.0, 0.0, 0.0], carrot, goal, vel,
+                                       footprint, empty_costmap)
+            res = solver(jnp.zeros(9), scen)
+            nps = NpScenario(np.zeros(3), np.array(carrot), np.array(goal),
+                             np.array(vel), footprint_np, npcm)
+            srv = OracleServer(tight_cfg)
+            _, diag = srv.solve(nps, 0.033)
+            dx = np.abs(diag["raw"] - np.asarray(res.x)).max()
+            fgap = float(res.fun) - diag["fun"]
+            # Same KKT point within a few×1e-3 (scipy's own finite-difference
+            # accuracy floor). When scipy stops short of the optimum (its FD
+            # gradients limit it near active cone constraints) our solution may
+            # differ more — acceptable iff our objective is strictly better.
+            # (2e-6 ≈ a float32 ulp at f ~ 0.5: an objective tie.)
+            assert dx < 5e-3 or fgap < 2e-6, (vel, carrot, goal, dx, fgap)
+            # Never meaningfully worse in objective.
+            assert fgap < 1e-4, (vel, carrot, goal, fgap)
+
+    def test_never_worse_randomized(self, tight_cfg, solver, empty_costmap,
+                                    footprint, footprint_np):
+        rng = np.random.default_rng(7)
+        npcm = NpCostmap(np.zeros((40, 40)), np.array([-1.0, -1.0]), 0.05)
+        worse = 0
+        for _ in range(15):
+            vel = rng.uniform(-0.7, 0.7, 3)
+            carrot = rng.uniform(-0.8, 0.8, 3) * np.array([1, 1, 2.5])
+            goal = rng.uniform(-1.2, 1.2, 3) * np.array([1, 1, 2.5])
+            cur = np.array([rng.uniform(-0.3, 0.3), rng.uniform(-0.3, 0.3),
+                            rng.uniform(-3, 3)])
+            warm = rng.uniform(-0.5, 0.5, 9)
+            scen = mpc.Scenario.create(cur, carrot, goal, vel, footprint,
+                                       empty_costmap)
+            res = solver(jnp.asarray(warm, jnp.float32), scen)
+            nps = NpScenario(cur, carrot, goal, vel, footprint_np, npcm)
+            srv = OracleServer(tight_cfg)
+            srv.initial_guess = warm.copy()
+            srv.old_goal = goal.copy()
+            _, diag = srv.solve(nps, 0.033)
+            if float(res.fun) > diag["fun"] + 2e-4:
+                worse += 1
+        assert worse == 0
+
+    def test_solution_feasible(self, tight_cfg, solver, empty_costmap, footprint):
+        scen = mpc.Scenario.create([0, 0, 0], [0.9, 0.9, 1.5], [2, 2, 1.5],
+                                   [0.7, 0.7, 0.7], footprint, empty_costmap)
+        res = solver(jnp.zeros(9), scen)
+        u = np.asarray(res.x).reshape(3, 3)
+        assert np.all(u[:, 0] <= tight_cfg.max_vel_x + 1e-4)
+        assert np.all(u[:, 2] >= tight_cfg.min_vel_theta - 1e-4)
+        for row in u:
+            assert np.hypot(row[0], row[1]) <= tight_cfg.max_vel_trans + 1e-3
+
+
+class TestProxFista:
+    def test_smooth_quadratic(self, cfg):
+        target = jnp.asarray([0.2, -0.1, 0.3] * 3, jnp.float32)
+        f = lambda u: jnp.sum((u - target) ** 2)
+        g = lambda u: jnp.zeros((), jnp.float32)
+        res = mpc.prox_fista(f, g, jnp.float32(0.0), jnp.zeros(3), jnp.zeros(9),
+                             cfg, ftol=1e-10, max_iters=500)
+        np.testing.assert_allclose(res.x, target, atol=1e-4)
+        assert bool(res.converged)
+
+    def test_kink_is_fixed_point(self, cfg):
+        """With a dominant control term the current velocity is the optimum
+        (the SLSQP behavior on the same problem: stay at the kink)."""
+        v = jnp.asarray([0.1, 0.05, 0.0], jnp.float32)
+        lam = 1.0
+        f = lambda u: 1e-3 * jnp.sum(u**2)
+        g = lambda u: lam * jnp.sum(
+            jnp.sqrt(jnp.sum((u.reshape(3, 3) - v) ** 2, axis=-1) + 1e-30))
+        res = mpc.prox_fista(f, g, jnp.float32(lam), v, jnp.tile(v, 3), cfg,
+                             ftol=1e-10, max_iters=200)
+        np.testing.assert_allclose(res.x.reshape(3, 3), np.tile(v, (3, 1)),
+                                   atol=1e-3)

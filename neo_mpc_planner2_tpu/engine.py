@@ -231,9 +231,16 @@ class MpcEngine:
                 delta_t, parity=parity,
             )
 
-        self._step = jax.jit(_step)
         # vmap over every per-scenario argument; config is closed over.
         self._batch_step = jax.jit(jax.vmap(_step))
+        # The single-robot path routes through the batch-1 vmapped executable:
+        # identical math, but the unbatched scalar program triggers an XLA-TPU
+        # compile-time pathology (minutes) that the vmapped one does not.
+        def _step1(*args):
+            out = self._batch_step(*jax.tree.map(lambda x: x[None], args))
+            return jax.tree.map(lambda x: x[0], out)
+
+        self._step = _step1
 
     def init_state(self) -> ControlState:
         return init_state(self.cfg)

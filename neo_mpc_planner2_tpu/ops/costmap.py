@@ -75,12 +75,19 @@ def world_to_map(cm: Costmap, wx: jnp.ndarray, wy: jnp.ndarray):
 
 def cost_at_cell(cm: Costmap, mx: jnp.ndarray, my: jnp.ndarray) -> jnp.ndarray:
     """Cell cost with lethal out-of-bounds (Costmap2d.getCost equivalent,
-    mpc_optimization_server.py:247)."""
+    mpc_optimization_server.py:247).
+
+    The lookup is a flattened 1-D gather (row * W + col) rather than 2-D
+    advanced indexing: the 2-D form compiles to a pathologically slow XLA-TPU
+    gather (~3 minutes for a (8,16) index set vs 0.5 s flattened). Batched
+    costmaps are handled by vmap, so data is (H, W) here.
+    """
     h, w = cm.data.shape[-2], cm.data.shape[-1]
     in_bounds = (mx >= 0) & (mx < w) & (my >= 0) & (my < h)
     mxc = jnp.clip(mx, 0, w - 1)
     myc = jnp.clip(my, 0, h - 1)
-    val = cm.data[..., myc, mxc]
+    flat = cm.data.reshape(cm.data.shape[:-2] + (h * w,))
+    val = flat[..., myc * w + mxc]
     return jnp.where(in_bounds, val, LETHAL_COST)
 
 

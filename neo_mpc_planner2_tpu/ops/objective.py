@@ -33,6 +33,42 @@ __all__ = [
 
 
 @flax.struct.dataclass
+class Weights:
+    """Per-scenario cost-weight overrides — the BASELINE.json "weight grids"
+    batch axis. Each field is a scalar (or batched scalar under vmap); a
+    None-valued Weights is replaced by the static config values, so a single
+    compiled executable serves a whole weight grid.
+    """
+
+    w_trans: jnp.ndarray
+    w_orient: jnp.ndarray
+    w_control: jnp.ndarray
+    w_terminal: jnp.ndarray
+    w_costmap: jnp.ndarray
+    w_footprint: jnp.ndarray
+
+    @staticmethod
+    def from_config(cfg: MpcConfig) -> "Weights":
+        f = lambda v: jnp.asarray(v, jnp.float32)
+        return Weights(f(cfg.w_trans), f(cfg.w_orient), f(cfg.w_control),
+                       f(cfg.w_terminal), f(cfg.w_costmap), f(cfg.w_footprint))
+
+    @staticmethod
+    def grid(cfg: MpcConfig, **axes) -> "Weights":
+        """Cartesian weight grid, flattened to a batch: Weights.grid(cfg,
+        w_trans=[0.5, 0.82], w_control=[0.01, 0.05, 0.2]) -> batch of 6."""
+        names = ["w_trans", "w_orient", "w_control", "w_terminal",
+                 "w_costmap", "w_footprint"]
+        import numpy as np
+
+        arrays = [np.asarray(axes.get(n, [getattr(cfg, n)]), np.float32)
+                  for n in names]
+        mesh = np.meshgrid(*arrays, indexing="ij")
+        flat = [jnp.asarray(m.reshape(-1)) for m in mesh]
+        return Weights(*flat)
+
+
+@flax.struct.dataclass
 class Scenario:
     """One solve request — the device-resident analogue of the
     neo_srvs2/srv/Optimizer request (packed at NeoMpcPlanner.cpp:240-246)

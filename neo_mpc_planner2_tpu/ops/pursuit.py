@@ -36,7 +36,8 @@ SLOW_DOWN_COST_GATE = 200.0 / 255.0
 # cpp:234 — footprint cost == 255 throws "MPC detected collision!".
 LETHAL_GATE = 1.0
 
-_BIG = jnp.float32(1e30)
+# Plain float (not a jnp constant: module import must not initialize a backend).
+_BIG = 1e30
 
 
 @flax.struct.dataclass

@@ -1,0 +1,135 @@
+"""Scenario-batch sharding over a TPU mesh.
+
+The reference has no distributed machinery at all (SURVEY.md §2.4) — its
+"transport" is one blocking DDS service call (NeoMpcPlanner.cpp:248-250). The
+scale axes here come from BASELINE.json: ≥4096 scenarios per chip batched per
+step, sharded over chips/hosts with ≥80 % linear solves/s scaling.
+
+Design (the standard JAX recipe): a 2-D ('host', 'chip') mesh; the scenario
+batch is sharded over both axes flattened; every per-scenario input/state leaf
+carries NamedSharding(P(('host', 'chip'))) on its leading axis; the engine step
+runs under jit, XLA partitions it, and the returned fleet metrics are the only
+cross-device reduction (psum over ICI within a host slice, DCN across hosts).
+There is no other communication — MPC scenarios are embarrassingly parallel,
+which is exactly why the design goal is keeping XLA from inserting anything
+else.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import MpcConfig
+from ..engine import ControlState, controller_step, init_state
+
+__all__ = ["make_mesh", "shard_batch", "FleetMetrics", "ShardedEngine", "initialize_distributed"]
+
+
+def initialize_distributed(**kw: Any) -> None:
+    """Multi-host bring-up: jax.distributed.initialize with graceful no-op when
+    already initialized (the §5.8 'failure detection' init barrier)."""
+    try:
+        jax.distributed.initialize(**kw)
+    except RuntimeError:
+        pass  # already initialized
+
+
+def make_mesh(devices: Sequence[jax.Device] | None = None,
+              hosts: int | None = None) -> Mesh:
+    """Build the ('host', 'chip') mesh. With explicit `hosts`, the device list
+    is folded into (hosts, chips_per_host); otherwise process_count is used."""
+    devices = list(jax.devices()) if devices is None else list(devices)
+    n = len(devices)
+    h = hosts if hosts is not None else max(jax.process_count(), 1)
+    if n % h != 0:
+        h = 1
+    import numpy as np
+
+    dev_array = np.asarray(devices).reshape(h, n // h)
+    return Mesh(dev_array, ("host", "chip"))
+
+
+def _batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(("host", "chip")))
+
+
+def shard_batch(tree: Any, mesh: Mesh) -> Any:
+    """Place every leaf with its leading (scenario) axis sharded over the mesh."""
+    s = _batch_sharding(mesh)
+
+    def put(x):
+        x = jnp.asarray(x)
+        spec = P(("host", "chip"), *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, tree)
+
+
+class FleetMetrics(NamedTuple):
+    """Cross-fleet aggregates — the one place collectives appear.
+
+    Mirrors the observability the reference lacks (SURVEY.md §5 metrics row):
+    per-solve cost, solver iterations, convergence and safety-stop rates.
+    """
+
+    mean_cost: jnp.ndarray
+    max_iters: jnp.ndarray
+    converged_frac: jnp.ndarray
+    collision_frac: jnp.ndarray
+    lethal_frac: jnp.ndarray
+    mean_cmd_speed: jnp.ndarray
+
+
+def _metrics_from(out) -> FleetMetrics:
+    return FleetMetrics(
+        mean_cost=jnp.mean(out.fun),
+        max_iters=jnp.max(out.solver_iters),
+        converged_frac=jnp.mean(out.solver_converged.astype(jnp.float32)),
+        collision_frac=jnp.mean(out.collision.astype(jnp.float32)),
+        lethal_frac=jnp.mean(out.lethal.astype(jnp.float32)),
+        mean_cmd_speed=jnp.mean(jnp.linalg.norm(out.cmd_vel[..., :2], axis=-1)),
+    )
+
+
+class ShardedEngine:
+    """Fleet-scale engine: one compiled executable steps B scenarios sharded
+    over the mesh and reduces fleet metrics with XLA collectives.
+
+    >>> eng = ShardedEngine(cfg, make_mesh())
+    >>> state = eng.init_state(4096)
+    >>> out, metrics = eng.step(state, plans, poses, vels, costmaps, fps, dts)
+    """
+
+    def __init__(self, cfg: MpcConfig, mesh: Mesh | None = None,
+                 parity: bool = True, donate_state: bool = True):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.parity = parity
+
+        def one(state, plan, pose, vel, cm, fp, dt):
+            return controller_step(cfg, state, plan, pose, vel, cm, fp, dt,
+                                   parity=parity)
+
+        def batch(state, plans, poses, vels, cms, fps, dts):
+            out = jax.vmap(one)(state, plans, poses, vels, cms, fps, dts)
+            # The only cross-device communication: metric reductions (psum /
+            # all-reduce inserted by XLA over ICI/DCN).
+            return out, _metrics_from(out)
+
+        donate = (0,) if donate_state else ()
+        self._step = jax.jit(batch, donate_argnums=donate)
+
+    def init_state(self, batch: int) -> ControlState:
+        st = init_state(self.cfg)
+        st = jax.tree.map(lambda x: jnp.broadcast_to(x, (batch,) + x.shape), st)
+        return shard_batch(st, self.mesh)
+
+    def shard(self, tree):
+        return shard_batch(tree, self.mesh)
+
+    def step(self, state, plans, poses, vels, costmaps, footprints, dts):
+        return self._step(state, plans, poses, vels, costmaps, footprints, dts)

@@ -1,0 +1,123 @@
+"""Synthetic MPO-700 scenario suite.
+
+The reference was validated only in Gazebo simulation (SURVEY.md §4 — no tests
+exist). This module is the in-repo replacement: deterministic, parameterized
+scenario batches (plans, obstacle costmaps, footprints, robot states) used by
+the oracle parity suite, the benchmarks, and the multi-chip dry run.
+
+Batches are generated with numpy RNG on the host (deterministic per seed,
+backend-independent, and much cheaper than tracing large random programs
+through a remote device) and land on device as stacked pytrees ready for
+vmap/pjit.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import MpcConfig
+from .engine import ControlState, init_state
+from .ops.costmap import Costmap
+from .ops.footprint import Footprint
+from .ops.pursuit import Plan
+
+__all__ = ["ScenarioBatch", "make_scenario_batch", "mpo700_footprint"]
+
+# MPO-700 chassis is ~0.73 x 0.55 m; footprint half-extents used for the suite.
+MPO700_LENGTH = 0.73
+MPO700_WIDTH = 0.55
+
+
+def mpo700_footprint(max_vertices: int = 8) -> Footprint:
+    return Footprint.rectangle(MPO700_LENGTH, MPO700_WIDTH, max_vertices)
+
+
+class ScenarioBatch(NamedTuple):
+    state: ControlState       # (B, ...) control state
+    plan: Plan                # (B, P, 3)
+    robot_pose: jnp.ndarray   # (B, 3)
+    current_vel: jnp.ndarray  # (B, 3)
+    costmap: Costmap          # (B, H, W)
+    footprint: Footprint      # (B, V, 2)
+    delta_t: jnp.ndarray      # (B,)
+
+
+def make_scenario_batch(
+    cfg: MpcConfig,
+    batch: int,
+    seed: int = 0,
+    map_size: int = 120,
+    resolution: float = 0.05,
+    n_obstacles: int = 6,
+    plan_points: int = 64,
+) -> ScenarioBatch:
+    """Random curved plans + Gaussian-blob obstacle maps + perturbed starts.
+
+    Covers the BASELINE.json batch axes: per-scenario obstacle layouts and
+    lookahead geometry (weight grids batch by building several configs).
+    """
+    rng = np.random.default_rng(seed)
+
+    # --- plans: arcs with random curvature/length, starting at the origin ---
+    curv = rng.uniform(-0.6, 0.6, batch)
+    length = rng.uniform(1.5, 3.0, batch)
+    s = np.linspace(0.0, 1.0, plan_points)[None, :] * length[:, None]  # (B, P)
+    yaw = curv[:, None] * s
+    safe_curv = np.where(np.abs(curv[:, None]) > 1e-6, curv[:, None], 1.0)
+    xs = np.where(np.abs(curv[:, None]) > 1e-6, np.sin(yaw) / safe_curv, s)
+    ys = np.where(np.abs(curv[:, None]) > 1e-6, (1.0 - np.cos(yaw)) / safe_curv,
+                  np.zeros_like(s))
+    poses = np.stack([xs, ys, yaw], axis=-1).astype(np.float32)  # (B, P, 3)
+    pad = cfg.max_plan_points - plan_points
+    if pad < 0:
+        raise ValueError("plan_points exceeds cfg.max_plan_points")
+    poses = np.concatenate(
+        [poses, np.repeat(poses[:, -1:, :], pad, axis=1)], axis=1
+    )
+    plan = Plan(poses=jnp.asarray(poses),
+                n_valid=jnp.full((batch,), plan_points, jnp.int32))
+
+    # --- costmaps: max of Gaussian blobs away from the start pose ---
+    half = map_size * resolution / 2.0
+    yy, xx = np.meshgrid(
+        np.arange(map_size, dtype=np.float32) * resolution - half + resolution / 2,
+        np.arange(map_size, dtype=np.float32) * resolution - half + resolution / 2,
+        indexing="ij",
+    )
+    centers = rng.uniform(-half + 0.8, half - 0.3, (batch, n_obstacles, 2))
+    # keep a clear bubble around the robot start
+    centers = np.where(
+        np.linalg.norm(centers, axis=-1, keepdims=True) < 0.8,
+        centers + 1.2, centers,
+    )
+    amp = rng.uniform(0.3, 0.95, (batch, n_obstacles))
+    sig2 = 0.08
+    d2 = ((xx[None, None] - centers[..., 0, None, None]) ** 2
+          + (yy[None, None] - centers[..., 1, None, None]) ** 2)  # (B, O, H, W)
+    blobs = amp[..., None, None] * np.exp(-d2 / (2 * sig2))
+    data = np.clip(np.max(blobs, axis=1), 0.0, 1.0).astype(np.float32)
+    costmap = Costmap(
+        data=jnp.asarray(data),
+        origin=jnp.tile(jnp.asarray([-half, -half], jnp.float32), (batch, 1)),
+        resolution=jnp.full((batch,), resolution, jnp.float32),
+    )
+
+    # --- robot state ---
+    robot_pose = jnp.asarray(rng.uniform(-0.05, 0.05, (batch, 3)), jnp.float32)
+    current_vel = jnp.asarray(rng.uniform(-0.3, 0.3, (batch, 3)), jnp.float32)
+
+    fp1 = mpo700_footprint(cfg.max_footprint_vertices)
+    footprint = jax.tree.map(lambda x: jnp.broadcast_to(x, (batch,) + x.shape), fp1)
+
+    state1 = init_state(cfg)
+    state = jax.tree.map(lambda x: jnp.broadcast_to(x, (batch,) + x.shape), state1)
+
+    delta_t = jnp.full((batch,), 1.0 / cfg.controller_frequency, jnp.float32)
+
+    return ScenarioBatch(state=state, plan=plan, robot_pose=robot_pose,
+                         current_vel=current_vel, costmap=costmap,
+                         footprint=footprint, delta_t=delta_t)

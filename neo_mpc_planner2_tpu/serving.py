@@ -1,0 +1,211 @@
+"""Standalone optimization server — the deployment twin of the reference's
+`mpc_optimization_server` node (mpc_optimization_server.py:441-447).
+
+The reference exposes one blocking ROS service 'optimizer' (py:105) plus
+topic subscriptions for the footprint (py:140-144) and parameters. Here the
+transport is a newline-delimited JSON protocol over TCP (no ROS, no DDS):
+
+    {"op": "configure", "params": {<ROS parameter names>}}
+    {"op": "set_costmap", "data": [[...]], "origin": [x, y], "resolution": r}
+    {"op": "set_footprint", "points": [[x, y], ...]}
+    {"op": "optimizer", "current_pose": [x,y,yaw], "carrot_pose": [x,y,yaw],
+     "goal_pose": [x,y,yaw], "current_vel": [vx,vy,wz],
+     "switch_opt": false, "control_interval": 0.033}
+    {"op": "reset"}        # new-mission reset (the reference restarts the node)
+    {"op": "ping"}
+
+Responses mirror the Optimizer.srv response: {"output_vel": [vx, vy, wz],
+...diagnostics}. Requests are served strictly in order on one thread — the
+same serialization discipline as the reference's single-threaded rclpy
+executor (py:441-444). Wall-clock delta_t for the stuck-wait timer is measured
+server-side like the reference (py:369-371) unless the request carries an
+explicit "delta_t".
+
+The device state (warm start, last control, timers) stays resident between
+calls as a ControlState pytree; only the 6-float request and 3-float response
+cross the host boundary per tick once the costmap is set.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import socketserver
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import MpcConfig, config_from_ros_params, default_config
+from .engine import init_state, solve_step
+from .ops.costmap import Costmap
+from .ops.footprint import Footprint
+from .ops.objective import Scenario, make_objective
+from .sqp import make_sqp_solver
+
+__all__ = ["OptimizerSession", "serve", "OptimizerClient"]
+
+
+class OptimizerSession:
+    """Transport-independent request handler (also used directly in tests and
+    by the C++ host front-end through the in-process path)."""
+
+    def __init__(self, cfg: Optional[MpcConfig] = None):
+        self.cfg = cfg or default_config()
+        self.costmap: Optional[Costmap] = None
+        self.footprint: Optional[Footprint] = None
+        self.state = None
+        self.last_time = 0.0  # py:138 — first delta_t is huge, like time.time()-0
+        self._rebuild()
+
+    def _rebuild(self) -> None:
+        cfg = self.cfg
+        solver = make_sqp_solver(cfg, make_objective(cfg, parity=True))
+
+        def step(state, scen, delta_t):
+            return solve_step(cfg, state, scen, delta_t, solver=solver)
+
+        self._step = jax.jit(step)
+        self.state = init_state(cfg)
+
+    # ---- ops ----
+    def op_configure(self, msg: dict) -> dict:
+        self.cfg = config_from_ros_params(msg.get("params", {}))
+        self._rebuild()
+        return {"ok": True}
+
+    def op_set_costmap(self, msg: dict) -> dict:
+        self.costmap = Costmap.create(
+            np.asarray(msg["data"], np.float32),
+            origin=tuple(msg.get("origin", (0.0, 0.0))),
+            resolution=float(msg.get("resolution", 0.05)),
+        )
+        return {"ok": True, "shape": list(self.costmap.data.shape)}
+
+    def op_set_footprint(self, msg: dict) -> dict:
+        self.footprint = Footprint.create(
+            np.asarray(msg["points"], np.float32),
+            max_vertices=self.cfg.max_footprint_vertices,
+        )
+        return {"ok": True}
+
+    def op_reset(self, msg: dict) -> dict:
+        self.state = init_state(self.cfg)
+        self.last_time = 0.0
+        return {"ok": True}
+
+    def op_ping(self, msg: dict) -> dict:
+        return {"ok": True, "backend": jax.default_backend()}
+
+    def op_optimizer(self, msg: dict) -> dict:
+        if self.costmap is None:
+            return {"error": "no costmap set"}
+        if self.footprint is None:
+            # Unlike the reference (which crashes if the footprint topic has
+            # not arrived before the first solve — SURVEY.md §2.3.10), refuse
+            # explicitly.
+            return {"error": "no footprint set"}
+
+        scen = Scenario.create(
+            current_pose=msg["current_pose"],
+            carrot_pose=msg["carrot_pose"],
+            goal_pose=msg["goal_pose"],
+            current_vel=msg["current_vel"],
+            footprint=self.footprint,
+            costmap=self.costmap,
+            switch_opt=bool(msg.get("switch_opt", False)),
+        )
+        if "delta_t" in msg:
+            delta_t = float(msg["delta_t"])
+        else:
+            now = time.time()
+            delta_t = now - self.last_time
+            self.last_time = now
+
+        out = self._step(self.state, scen, jnp.float32(delta_t))
+        self.state = out.state
+        return {
+            "output_vel": np.asarray(out.cmd_vel).tolist(),
+            "success": bool(out.solver_converged),
+            "iterations": int(out.solver_iters),
+            "cost": float(out.fun),
+            "collision": bool(out.collision),
+            "collision_footprint": bool(out.collision_footprint),
+            "local_plan": np.asarray(out.local_plan).tolist(),
+        }
+
+    def handle(self, msg: dict) -> dict:
+        op = msg.get("op")
+        fn = getattr(self, f"op_{op}", None)
+        if fn is None:
+            return {"error": f"unknown op: {op!r}"}
+        try:
+            return fn(msg)
+        except (KeyError, TypeError, ValueError) as e:
+            return {"error": f"{type(e).__name__}: {e}"}
+
+
+def serve(host: str = "127.0.0.1", port: int = 7180,
+          cfg: Optional[MpcConfig] = None, ready_event=None) -> None:
+    """Blocking single-threaded server loop (ros2 run … mpc_optimization_server
+    equivalent, README.md:92)."""
+    session = OptimizerSession(cfg)
+
+    class Handler(socketserver.StreamRequestHandler):
+        def handle(self) -> None:
+            for line in self.rfile:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    msg = json.loads(line)
+                except json.JSONDecodeError as e:
+                    resp = {"error": f"bad json: {e}"}
+                else:
+                    resp = session.handle(msg)
+                self.wfile.write(json.dumps(resp).encode() + b"\n")
+                self.wfile.flush()
+
+    class Server(socketserver.TCPServer):
+        allow_reuse_address = True  # must be set before bind
+
+    with Server((host, port), Handler) as srv:
+        if ready_event is not None:
+            ready_event.set()
+        srv.serve_forever()
+
+
+class OptimizerClient:
+    """Minimal blocking client — the stand-in for the plugin's service client
+    (NeoMpcPlanner.cpp:308, :248-250), with the same wait-for-service loop
+    semantics (cpp:325-330)."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 7180,
+                 wait_timeout: float = 10.0):
+        deadline = time.time() + wait_timeout
+        while True:
+            try:
+                self.sock = socket.create_connection((host, port), timeout=1.0)
+                # Solve calls block like the plugin's result.get() (cpp:250);
+                # the first one includes jit compilation.
+                self.sock.settimeout(None)
+                break
+            except OSError:
+                if time.time() > deadline:
+                    raise TimeoutError("optimizer service not available")
+                time.sleep(0.2)
+        self.f = self.sock.makefile("rwb")
+
+    def call(self, msg: dict) -> dict:
+        self.f.write(json.dumps(msg).encode() + b"\n")
+        self.f.flush()
+        line = self.f.readline()
+        if not line:
+            raise ConnectionError("server closed connection")
+        return json.loads(line)
+
+    def close(self) -> None:
+        self.f.close()
+        self.sock.close()

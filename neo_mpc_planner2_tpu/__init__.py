@@ -11,7 +11,7 @@ from .config import CompatConfig, MpcConfig, config_from_ros_params, default_con
 from .engine import ControlState, MpcEngine, StepResult, controller_step, init_state, solve_step
 from .ops.costmap import Costmap, cost_at_world, cost_at_world_bilinear
 from .ops.footprint import Footprint, footprint_cost, footprint_cost_at_pose, transform_footprint
-from .ops.objective import Scenario, make_objective, objective_parity, objective_product
+from .ops.objective import Scenario, Weights, make_objective, objective_parity, objective_product
 from .ops.pursuit import Plan, PursuitResult, pursuit_tick
 from .ops.rollout import rollout
 from .solver import SolveResult, make_solver, project_feasible, prox_fista
@@ -24,7 +24,7 @@ __all__ = [
     "ControlState", "MpcEngine", "StepResult", "controller_step", "init_state", "solve_step",
     "Costmap", "cost_at_world", "cost_at_world_bilinear",
     "Footprint", "footprint_cost", "footprint_cost_at_pose", "transform_footprint",
-    "Scenario", "make_objective", "objective_parity", "objective_product",
+    "Scenario", "Weights", "make_objective", "objective_parity", "objective_product",
     "Plan", "PursuitResult", "pursuit_tick",
     "rollout",
     "SolveResult", "make_solver", "project_feasible", "prox_fista",

@@ -27,8 +27,9 @@ from .rollout import rollout
 from .se2 import wrap_angle
 
 __all__ = [
-    "Scenario", "buggy_odom_yaw", "parity_footprint_term",
-    "objective_parity", "objective_product", "make_objective",
+    "Scenario", "Weights", "resolve_weights", "buggy_odom_yaw",
+    "parity_footprint_term", "objective_parity", "objective_product",
+    "make_objective",
 ]
 
 
@@ -98,10 +99,14 @@ class Scenario:
     footprint: Footprint
     costmap: Costmap
     switch_opt: jnp.ndarray
+    # Optional per-scenario cost-weight overrides (Weights or None). None
+    # means "use the static config values"; a Weights pytree batches under
+    # vmap so one executable serves a whole weight grid.
+    weights: "Weights | None" = None
 
     @staticmethod
     def create(current_pose, carrot_pose, goal_pose, current_vel, footprint, costmap,
-               switch_opt=False) -> "Scenario":
+               switch_opt=False, weights=None) -> "Scenario":
         f32 = lambda a: jnp.asarray(a, jnp.float32)
         return Scenario(
             current_pose=f32(current_pose),
@@ -111,6 +116,7 @@ class Scenario:
             footprint=footprint,
             costmap=costmap,
             switch_opt=jnp.asarray(switch_opt, bool),
+            weights=weights,
         )
 
 
@@ -132,7 +138,13 @@ def safe_norm(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(s == 0.0, 0.0, jnp.sqrt(jnp.where(s == 0.0, 1.0, s)))
 
 
-def control_cost(cmd_flat: jnp.ndarray, current_vel: jnp.ndarray, cfg: MpcConfig) -> jnp.ndarray:
+def resolve_weights(scen: "Scenario", cfg: MpcConfig) -> "Weights":
+    """Per-scenario weights when provided, else the static config values."""
+    return scen.weights if scen.weights is not None else Weights.from_config(cfg)
+
+
+def control_cost(cmd_flat: jnp.ndarray, current_vel: jnp.ndarray, cfg: MpcConfig,
+                 w_control=None) -> jnp.ndarray:
     """The nonsmooth control-effort term (py:253-254): w_control · Σ_i
     ‖current_vel − u_i‖ / N — the norm, NOT the squared norm
     (CompatConfig.unsquared_control_cost). Kept separate from the smooth terms
@@ -141,29 +153,31 @@ def control_cost(cmd_flat: jnp.ndarray, current_vel: jnp.ndarray, cfg: MpcConfig
     """
     cmd = cmd_flat.reshape(cfg.control_steps, 3)
     dv = safe_norm(current_vel[None, :] - cmd)
-    return cfg.w_control * jnp.sum(dv) / cfg.control_steps
+    wc = cfg.w_control if w_control is None else w_control
+    return wc * jnp.sum(dv) / cfg.control_steps
 
 
 def _stage_and_terminal(cfg, scen, cmd, body_traj, odom_traj, costmap_point_cost,
                         fp_term_per_step, orient_err_fn, include_control=True):
     """Shared cost accumulation across parity/product modes."""
     n = cfg.control_steps
+    w = resolve_weights(scen, cfg)
     # Stage translation/orientation error vs the carrot (py:250-252).
     carrot_xy = scen.carrot_pose[:2]
     d2 = jnp.sum((carrot_xy[None, :] - body_traj[:, :2]) ** 2, axis=-1)  # (N,)
     oerr = orient_err_fn(scen.carrot_pose[2] - body_traj[:, 2])
-    cost = jnp.sum(cfg.w_trans * d2 + cfg.w_orient * oerr**2) / n
+    cost = jnp.sum(w.w_trans * d2 + w.w_orient * oerr**2) / n
 
     if include_control:
-        cost += control_cost(cmd.reshape(-1), scen.current_vel, cfg)
+        cost += control_cost(cmd.reshape(-1), scen.current_vel, cfg, w.w_control)
 
     # Costmap term (py:257-260): squared point cost, ×1000 when the point is
     # exactly lethal, else ×w_costmap.
     sq = costmap_point_cost**2
     if cfg.compat.lethal_1000x:
-        scale = jnp.where(costmap_point_cost == 1.0, 1000.0, cfg.w_costmap)
+        scale = jnp.where(costmap_point_cost == 1.0, 1000.0, w.w_costmap)
     else:
-        scale = jnp.asarray(cfg.w_costmap, sq.dtype)
+        scale = jnp.asarray(w.w_costmap, sq.dtype)
     cost += jnp.sum(scale * sq) / n
 
     # Footprint term.
@@ -178,7 +192,7 @@ def _stage_and_terminal(cfg, scen, cmd, body_traj, odom_traj, costmap_point_cost
     else:
         # Product: distance from the predicted terminal odom pose to the goal.
         term_d2 = jnp.sum((odom_traj[-1, :2] - scen.goal_pose[:2]) ** 2)
-    cost += (cfg.w_trans * term_d2 + cfg.w_orient * term_o**2) * cfg.w_terminal
+    cost += (w.w_trans * term_d2 + w.w_orient * term_o**2) * w.w_terminal
     return cost
 
 
@@ -189,7 +203,8 @@ def parity_footprint_term(scen: Scenario, cfg: MpcConfig) -> jnp.ndarray:
     it does not depend on the decision variables."""
     fp_world = transform_footprint(scen.current_pose, scen.footprint)
     fp_cost = footprint_cost(scen.costmap, fp_world, cfg.footprint_edge_samples)
-    return jnp.where(fp_cost == 1.0, fp_cost**2 * cfg.w_footprint, 0.0)
+    w = resolve_weights(scen, cfg)
+    return jnp.where(fp_cost == 1.0, fp_cost**2 * w.w_footprint, 0.0)
 
 
 def objective_parity(
@@ -251,7 +266,7 @@ def objective_product(cmd_flat: jnp.ndarray, scen: Scenario, cfg: MpcConfig,
         )
 
     fp_costs = jnp.stack([fp_at(i) for i in range(n)])
-    fp_per_step = fp_costs**2 * cfg.w_footprint
+    fp_per_step = fp_costs**2 * resolve_weights(scen, cfg).w_footprint
 
     return _stage_and_terminal(
         cfg, scen, cmd, body_traj, odom_traj, pc, fp_per_step,

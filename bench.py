@@ -1,13 +1,21 @@
-"""Benchmark: MPC solves/sec/chip + p99 single-solve latency on real hardware.
+"""Benchmark: MPC solves/sec/chip + latency on real hardware.
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
 
 Baseline: the reference reports ~50 Hz sustained on an Intel i5
-(/root/reference/README.md:6) — i.e. ~50 solves/s for ONE robot. This engine's
-headline metric is batched solves/sec/chip at the same problem shape
-(horizon 0.8 s, 3 control steps, costmap + footprint terms active), so
-vs_baseline = solves_per_sec / 50.
+(/root/reference/README.md:6) — i.e. ~50 solves/s for ONE robot. The headline
+metric is sustained closed-loop solves/sec/chip: `batch` robots run the full
+FollowPath loop (pursuit + SQP solve + post-processing + plant) for `ticks`
+control periods entirely on device (one lax.scan dispatch, state threaded
+tick-to-tick exactly like a deployment), at the same problem shape as the
+reference (horizon 0.8 s, 3 control steps, costmap + footprint active).
+vs_baseline = solves_per_sec_per_chip / 50.
+
+Extra fields: cold-start step time (zeroed warm starts — every lane runs the
+solver to convergence), single-robot pipelined tick latency, and the blocking
+round-trip p99 (meaningful only when host and chip are co-located; through a
+network tunnel it is dominated by RTT).
 
 Run on the TPU (default env), single process. CPU smoke: JAX_PLATFORMS=cpu.
 """
@@ -24,8 +32,8 @@ import numpy as np
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4096)
-    ap.add_argument("--steps", type=int, default=20)
-    ap.add_argument("--latency-reps", type=int, default=100)
+    ap.add_argument("--ticks", type=int, default=50)
+    ap.add_argument("--latency-reps", type=int, default=50)
     ap.add_argument("--map-size", type=int, default=120)
     args = ap.parse_args()
 
@@ -33,8 +41,8 @@ def main() -> None:
     import jax.numpy as jnp
 
     import neo_mpc_planner2_tpu as mpc
-    from neo_mpc_planner2_tpu.parallel.sharding import ShardedEngine, make_mesh
     from neo_mpc_planner2_tpu.scenarios import make_scenario_batch
+    from neo_mpc_planner2_tpu.simulation import batch_simulate
 
     cfg = mpc.default_config().replace(
         prediction_horizon=0.8, control_steps=3, opt_tolerance=1e-3,
@@ -46,60 +54,70 @@ def main() -> None:
         lookahead_dist_min=0.4, lookahead_dist_max=0.4,
         lookahead_dist_close_to_goal=0.4,
     )
+    n_dev = len(jax.devices())
 
-    mesh = make_mesh()
-    eng = ShardedEngine(cfg, mesh)
-
-    # ---- batched throughput ----
+    # ---- headline: sustained closed-loop throughput ----
     sb = make_scenario_batch(cfg, args.batch, seed=0, map_size=args.map_size,
                              plan_points=64)
-    state = eng.shard(sb.state)
-    plan = eng.shard(sb.plan)
-    rest = tuple(eng.shard(x) for x in (sb.robot_pose, sb.current_vel,
-                                        sb.costmap, sb.footprint, sb.delta_t))
-
-    out, metrics = eng.step(state, plan, *rest)  # compile + warmup
-    jax.block_until_ready(out.cmd_vel)
-    state = out.state
-
+    sim = jax.jit(lambda b, t: batch_simulate(cfg, b, t), static_argnums=1)
+    warm = sim(sb, 2)  # compile (same trace as the measured tick count? no —
+    jax.block_until_ready(warm.poses)  # static ticks: compile both lengths)
+    run = sim(sb, args.ticks)
+    jax.block_until_ready(run.poses)  # compile the measured length
     t0 = time.perf_counter()
-    for _ in range(args.steps):
-        out, metrics = eng.step(state, plan, *rest)
-        state = out.state
-    jax.block_until_ready(out.cmd_vel)
-    dt_total = time.perf_counter() - t0
-    n_dev = len(jax.devices())
-    solves_per_sec_per_chip = args.batch * args.steps / dt_total / n_dev
+    run = sim(sb, args.ticks)
+    jax.block_until_ready(run.poses)
+    sim_s = time.perf_counter() - t0
+    solves_per_sec_per_chip = args.batch * args.ticks / sim_s / n_dev
 
-    # ---- single-solve p99 latency (dispatch included) ----
-    # Measured through a batch-1 vmapped step: identical math, and the
-    # unbatched scalar program hits an XLA compile-time pathology (~150 s)
-    # while the vmapped one compiles in seconds.
-    eng1 = mpc.MpcEngine(cfg)
-    st1 = eng1.init_batch_state(1)
-    plan1 = jax.tree.map(lambda x: x[:1], plan)
-    a1 = tuple(jax.tree.map(lambda x: x[:1], a) for a in rest)
-    o = eng1.batch_step(st1, plan1, *a1)  # compile
+    # ---- cold-start batched step (zero warm starts, full solver work) ----
+    eng = mpc.MpcEngine(cfg)
+    out = eng.batch_step(sb.state, sb.plan, sb.robot_pose, sb.current_vel,
+                         sb.costmap, sb.footprint, sb.delta_t)
+    jax.block_until_ready(out.cmd_vel)
+    t0 = time.perf_counter()
+    out = eng.batch_step(sb.state, sb.plan, sb.robot_pose, sb.current_vel,
+                         sb.costmap, sb.footprint, sb.delta_t)
+    jax.block_until_ready(out.cmd_vel)
+    cold_ms = (time.perf_counter() - t0) * 1e3
+
+    # ---- single-robot latency ----
+    st1 = eng.init_batch_state(1)
+    take1 = lambda t: jax.tree.map(lambda x: x[:1], t)
+    a1 = (take1(sb.plan), sb.robot_pose[:1], sb.current_vel[:1],
+          take1(sb.costmap), take1(sb.footprint), sb.delta_t[:1])
+    o = eng.batch_step(st1, *a1)
     jax.block_until_ready(o.cmd_vel)
+    # Pipelined (state-threaded, block once): sustained per-tick cost.
+    st = o.state
+    t0 = time.perf_counter()
+    for _ in range(args.latency_reps):
+        o = eng.batch_step(st, *a1)
+        st = o.state
+    jax.block_until_ready(o.cmd_vel)
+    pipelined_ms = (time.perf_counter() - t0) / args.latency_reps * 1e3
+    # Blocking round-trip p99 (includes host<->device transport each call).
     lats = []
     for _ in range(args.latency_reps):
         t0 = time.perf_counter()
-        o = eng1.batch_step(st1, plan1, *a1)
+        o = eng.batch_step(st, *a1)
         jax.block_until_ready(o.cmd_vel)
         lats.append(time.perf_counter() - t0)
-    p99_ms = float(np.percentile(np.array(lats) * 1e3, 99))
-    p50_ms = float(np.percentile(np.array(lats) * 1e3, 50))
+    rtt_p99_ms = float(np.percentile(np.array(lats) * 1e3, 99))
 
+    mean_goal_dist = float(jnp.mean(run.goal_dist[:, -1]))
     print(json.dumps({
-        "metric": "MPC solves/sec/chip (horizon 0.8s, 3 steps)",
+        "metric": "MPC solves/sec/chip (horizon 0.8s, 3 steps, closed loop)",
         "value": round(solves_per_sec_per_chip, 1),
         "unit": "solves/s/chip",
         "vs_baseline": round(solves_per_sec_per_chip / 50.0, 2),
         "batch": args.batch,
+        "ticks": args.ticks,
         "devices": n_dev,
-        "p99_solve_ms": round(p99_ms, 3),
-        "p50_solve_ms": round(p50_ms, 3),
-        "converged_frac": round(float(metrics.converged_frac), 4),
+        "cold_batch_step_ms": round(cold_ms, 2),
+        "single_robot_tick_ms": round(pipelined_ms, 3),
+        "blocking_rtt_p99_ms": round(rtt_p99_ms, 2),
+        "mean_final_goal_dist_m": round(mean_goal_dist, 3),
     }))
 
 

@@ -108,6 +108,10 @@ class MpcConfig:
     footprint_edge_samples: int = 32
     # Transformed-plan window is padded to this many poses (static shape).
     max_plan_points: int = 128
+    # Costmap sampling backend for the footprint boundary: "gather" (flat 1-D
+    # gather) or "onehot" (one-hot MXU contractions — faster at large batch on
+    # TPU, where vector gathers are scalar-emulated).
+    costmap_sampling: str = "gather"
     # Compatibility quirks toggle.
     compat: CompatConfig = dataclasses.field(default_factory=CompatConfig)
 

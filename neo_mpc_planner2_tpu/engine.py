@@ -125,7 +125,8 @@ def solve_step(
     # Goal reset does NOT clear the collision latch in the reference; keep as-is.
 
     fp_world = transform_footprint(scen.current_pose, scen.footprint)
-    fp_cost = footprint_cost(scen.costmap, fp_world, cfg.footprint_edge_samples)
+    fp_cost = footprint_cost(scen.costmap, fp_world, cfg.footprint_edge_samples,
+                             cfg.costmap_sampling)
     collision_footprint = fp_cost == 1.0
 
     # --- stuck-wait vs acceleration clamp (py:374-391) ---

@@ -24,7 +24,8 @@ from __future__ import annotations
 import flax.struct
 import jax.numpy as jnp
 
-__all__ = ["Costmap", "world_to_map", "cost_at_cell", "cost_at_world", "cost_at_world_bilinear"]
+__all__ = ["Costmap", "world_to_map", "cost_at_cell", "cost_at_world",
+           "cost_at_cells_onehot", "cost_at_world_onehot", "cost_at_world_bilinear"]
 
 LETHAL_COST = 1.0
 
@@ -96,6 +97,40 @@ def cost_at_world(cm: Costmap, wx: jnp.ndarray, wy: jnp.ndarray) -> jnp.ndarray:
     (getWorldToMap + getCost, mpc_optimization_server.py:246-247)."""
     mx, my = world_to_map(cm, wx, wy)
     return cost_at_cell(cm, mx, my)
+
+
+def cost_at_cells_onehot(cm: Costmap, mx: jnp.ndarray, my: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-cell sampling via one-hot MXU contractions — the TPU-native
+    alternative to gathers for *many* samples per map.
+
+    TPU has no efficient vector gather; for S sample points the lookup
+    data[my, mx] is instead computed as
+
+        T = R @ data        with R[s, h] = (my[s] == h)     -> (S, W)
+        c[s] = Σ_w T[s, w] * C[s, w]   with C[s, w] = (mx[s] == w)
+
+    Both contractions hit the MXU/VPU with dense 0/1 operands, which at
+    hundreds of samples beats the scalar-emulated gather path and fuses with
+    the surrounding arithmetic. Exact: each output picks exactly one cell.
+    mx/my: (S,) int32 flattened sample indices. Out-of-bounds -> LETHAL_COST.
+    """
+    h, w = cm.data.shape[-2], cm.data.shape[-1]
+    in_bounds = (mx >= 0) & (mx < w) & (my >= 0) & (my < h)
+    mxc = jnp.clip(mx, 0, w - 1)
+    myc = jnp.clip(my, 0, h - 1)
+    rows = (myc[:, None] == jnp.arange(h)[None, :]).astype(cm.data.dtype)  # (S, H)
+    cols = (mxc[:, None] == jnp.arange(w)[None, :]).astype(cm.data.dtype)  # (S, W)
+    t = jnp.dot(rows, cm.data, preferred_element_type=jnp.float32)          # (S, W)
+    vals = jnp.sum(t * cols, axis=-1)
+    return jnp.where(in_bounds, vals, LETHAL_COST)
+
+
+def cost_at_world_onehot(cm: Costmap, wx: jnp.ndarray, wy: jnp.ndarray) -> jnp.ndarray:
+    """World-coordinate one-hot sampling; accepts any sample shape (flattened
+    internally). Semantics identical to cost_at_world."""
+    shape = wx.shape
+    mx, my = world_to_map(cm, wx.reshape(-1), wy.reshape(-1))
+    return cost_at_cells_onehot(cm, mx, my).reshape(shape)
 
 
 def cost_at_world_bilinear(cm: Costmap, wx: jnp.ndarray, wy: jnp.ndarray) -> jnp.ndarray:

@@ -25,7 +25,7 @@ from __future__ import annotations
 import flax.struct
 import jax.numpy as jnp
 
-from .costmap import Costmap, cost_at_world
+from .costmap import Costmap, cost_at_world, cost_at_world_onehot
 from .se2 import se2_apply
 
 __all__ = ["Footprint", "transform_footprint", "footprint_cost", "footprint_cost_at_pose"]
@@ -69,7 +69,8 @@ def transform_footprint(pose: jnp.ndarray, fp: Footprint) -> Footprint:
     return fp.replace(vertices=se2_apply(pose, fp.vertices))
 
 
-def footprint_cost(cm: Costmap, fp: Footprint, samples: int = 32) -> jnp.ndarray:
+def footprint_cost(cm: Costmap, fp: Footprint, samples: int = 32,
+                   mode: str = "gather") -> jnp.ndarray:
     """Max costmap cost along the polygon boundary (normalized scale, 1.0 =
     collision) — Costmap2d.getFootprintCost equivalent.
 
@@ -85,7 +86,8 @@ def footprint_cost(cm: Costmap, fp: Footprint, samples: int = 32) -> jnp.ndarray
 
     t = jnp.linspace(0.0, 1.0, samples)       # (S,)
     pts = starts[:, None, :] + (ends - starts)[:, None, :] * t[None, :, None]  # (V, S, 2)
-    costs = cost_at_world(cm, pts[..., 0], pts[..., 1])  # (V, S)
+    sample = cost_at_world_onehot if mode == "onehot" else cost_at_world
+    costs = sample(cm, pts[..., 0], pts[..., 1])  # (V, S)
 
     edge_valid = idx < fp.n_valid             # (V,)
     costs = jnp.where(edge_valid[:, None], costs, -jnp.inf)
@@ -93,9 +95,10 @@ def footprint_cost(cm: Costmap, fp: Footprint, samples: int = 32) -> jnp.ndarray
 
 
 def footprint_cost_at_pose(
-    cm: Costmap, fp: Footprint, pose: jnp.ndarray, samples: int = 32
+    cm: Costmap, fp: Footprint, pose: jnp.ndarray, samples: int = 32,
+    mode: str = "gather",
 ) -> jnp.ndarray:
     """footprintCostAtPose equivalent (NeoMpcPlanner.cpp:218-219): place the
     base-frame footprint at pose and return the boundary max cost (normalized;
     multiply by 255 for the raw nav2 scale used by the plugin's thresholds)."""
-    return footprint_cost(cm, transform_footprint(pose, fp), samples)
+    return footprint_cost(cm, transform_footprint(pose, fp), samples, mode)

@@ -202,7 +202,8 @@ def parity_footprint_term(scen: Scenario, cfg: MpcConfig) -> jnp.ndarray:
     (py:262-263). Split out so solvers can hoist it out of the iteration loop —
     it does not depend on the decision variables."""
     fp_world = transform_footprint(scen.current_pose, scen.footprint)
-    fp_cost = footprint_cost(scen.costmap, fp_world, cfg.footprint_edge_samples)
+    fp_cost = footprint_cost(scen.costmap, fp_world, cfg.footprint_edge_samples,
+                             cfg.costmap_sampling)
     w = resolve_weights(scen, cfg)
     return jnp.where(fp_cost == 1.0, fp_cost**2 * w.w_footprint, 0.0)
 
@@ -263,6 +264,7 @@ def objective_product(cmd_flat: jnp.ndarray, scen: Scenario, cfg: MpcConfig,
             scen.costmap,
             transform_footprint(odom_traj[i], scen.footprint),
             cfg.footprint_edge_samples,
+            cfg.costmap_sampling,
         )
 
     fp_costs = jnp.stack([fp_at(i) for i in range(n)])

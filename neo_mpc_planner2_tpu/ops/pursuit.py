@@ -136,7 +136,8 @@ def pursuit_tick(
     # cpp:224 calls getLookAheadPoint with identical arguments, so its branch
     # can never fire (SURVEY.md §2.3.3) — net behavior is the else-if chain.
     fp_cost = footprint_cost_at_pose(
-        costmap, base_footprint, robot_pose, cfg.footprint_edge_samples
+        costmap, base_footprint, robot_pose, cfg.footprint_edge_samples,
+        cfg.costmap_sampling,
     )
     yaw_mag = jnp.abs(carrot[2])
     new_slow_down = jnp.where(

@@ -75,12 +75,18 @@ def _qp_admm(B, g, x, c, J, cfg: MpcConfig, iters: int, rho: float = 1.0,
     dhi = hi - x
 
     M = B + (sigma + rho) * jnp.eye(m, dtype=x.dtype) + rho * (J.T @ J)
-    chol = jax.scipy.linalg.cho_factor(M)
+    # Explicit inverse (via Cholesky solve against I), computed ONCE per QP:
+    # the ADMM iterations then reduce to dense matvecs, which batch onto the
+    # MXU as (batch, m, m) × (batch, m) contractions instead of sequential
+    # triangular solves. m is 3·control_steps (tiny), so the inverse is cheap
+    # and numerically safe for these well-conditioned regularized systems.
+    Minv = jax.scipy.linalg.cho_solve(
+        jax.scipy.linalg.cho_factor(M), jnp.eye(m, dtype=x.dtype))
 
     def step(carry, _):
         d, zb, zc, wb, wc = carry
         rhs = -g + sigma * d + rho * (zb - wb) + rho * (J.T @ (zc - wc))
-        d = jax.scipy.linalg.cho_solve(chol, rhs)
+        d = Minv @ rhs
         zb = jnp.clip(d + wb, dlo, dhi)
         zc = jnp.maximum(J @ d + wc, -c)
         wb = wb + d - zb

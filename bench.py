@@ -40,6 +40,11 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    # On remote-tunnel backends block_until_ready returns before execution
+    # completes; a host transfer is the only true barrier. Sync on a scalar.
+    def sync(x):
+        return np.asarray(jax.device_get(x[..., :1, 0] if x.ndim > 1 else x))
+
     import neo_mpc_planner2_tpu as mpc
     from neo_mpc_planner2_tpu.scenarios import make_scenario_batch
     from neo_mpc_planner2_tpu.simulation import batch_simulate
@@ -60,13 +65,11 @@ def main() -> None:
     sb = make_scenario_batch(cfg, args.batch, seed=0, map_size=args.map_size,
                              plan_points=64)
     sim = jax.jit(lambda b, t: batch_simulate(cfg, b, t), static_argnums=1)
-    warm = sim(sb, 2)  # compile (same trace as the measured tick count? no —
-    jax.block_until_ready(warm.poses)  # static ticks: compile both lengths)
     run = sim(sb, args.ticks)
-    jax.block_until_ready(run.poses)  # compile the measured length
+    sync(run.cmds)  # compile + first run
     t0 = time.perf_counter()
     run = sim(sb, args.ticks)
-    jax.block_until_ready(run.poses)
+    sync(run.cmds)
     sim_s = time.perf_counter() - t0
     solves_per_sec_per_chip = args.batch * args.ticks / sim_s / n_dev
 
@@ -74,12 +77,14 @@ def main() -> None:
     eng = mpc.MpcEngine(cfg)
     out = eng.batch_step(sb.state, sb.plan, sb.robot_pose, sb.current_vel,
                          sb.costmap, sb.footprint, sb.delta_t)
-    jax.block_until_ready(out.cmd_vel)
+    sync(out.cmd_vel)
+    reps = 5
     t0 = time.perf_counter()
-    out = eng.batch_step(sb.state, sb.plan, sb.robot_pose, sb.current_vel,
-                         sb.costmap, sb.footprint, sb.delta_t)
-    jax.block_until_ready(out.cmd_vel)
-    cold_ms = (time.perf_counter() - t0) * 1e3
+    for _ in range(reps):
+        out = eng.batch_step(sb.state, sb.plan, sb.robot_pose, sb.current_vel,
+                             sb.costmap, sb.footprint, sb.delta_t)
+        sync(out.cmd_vel)
+    cold_ms = (time.perf_counter() - t0) / reps * 1e3
 
     # ---- single-robot latency ----
     st1 = eng.init_batch_state(1)
@@ -87,21 +92,22 @@ def main() -> None:
     a1 = (take1(sb.plan), sb.robot_pose[:1], sb.current_vel[:1],
           take1(sb.costmap), take1(sb.footprint), sb.delta_t[:1])
     o = eng.batch_step(st1, *a1)
-    jax.block_until_ready(o.cmd_vel)
-    # Pipelined (state-threaded, block once): sustained per-tick cost.
+    sync(o.cmd_vel)
+    # Pipelined (state-threaded, one final sync): sustained per-tick cost.
     st = o.state
     t0 = time.perf_counter()
     for _ in range(args.latency_reps):
         o = eng.batch_step(st, *a1)
         st = o.state
-    jax.block_until_ready(o.cmd_vel)
+    sync(o.cmd_vel)
     pipelined_ms = (time.perf_counter() - t0) / args.latency_reps * 1e3
-    # Blocking round-trip p99 (includes host<->device transport each call).
+    # Blocking round-trip p99 (result fetched to host every call — what a
+    # single-robot deployment pays per tick, transport included).
     lats = []
     for _ in range(args.latency_reps):
         t0 = time.perf_counter()
         o = eng.batch_step(st, *a1)
-        jax.block_until_ready(o.cmd_vel)
+        sync(o.cmd_vel)
         lats.append(time.perf_counter() - t0)
     rtt_p99_ms = float(np.percentile(np.array(lats) * 1e3, 99))
 

@@ -32,9 +32,11 @@ import numpy as np
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4096)
-    ap.add_argument("--ticks", type=int, default=50)
+    ap.add_argument("--ticks", type=int, default=20)
     ap.add_argument("--latency-reps", type=int, default=50)
-    ap.add_argument("--map-size", type=int, default=120)
+    # 64 cells @ 0.05 m = a 3.2 m local window; also keeps the one-time
+    # host->device transfer modest on tunneled devices.
+    ap.add_argument("--map-size", type=int, default=64)
     args = ap.parse_args()
 
     import jax
@@ -56,6 +58,7 @@ def main() -> None:
         max_vel_x=0.7, max_vel_y=0.7, max_vel_trans=0.7, max_vel_theta=0.7,
         w_trans=0.82, w_orient=0.5, w_control=0.05, w_terminal=0.05,
         w_costmap=0.05, w_footprint=0.0,
+        costmap_sampling="onehot",
         lookahead_dist_min=0.4, lookahead_dist_max=0.4,
         lookahead_dist_close_to_goal=0.4,
     )

@@ -98,8 +98,12 @@ class MpcConfig:
     controller_frequency: float = 30.0
 
     # --- engine-only knobs (no reference equivalent) ---
-    # Max solver iterations for the projected-gradient SQP (device solver).
-    solver_max_iters: int = 200
+    # Max outer SQP iterations (device solver). At fleet scale the batched
+    # while-loop runs lockstep until the slowest lane finishes, so this cap is
+    # the main worst-case-latency lever.
+    solver_max_iters: int = 40
+    # ADMM iterations for each SQP QP subproblem.
+    qp_iters: int = 60
     # Dykstra iterations for the box∩disk projection.
     projection_iters: int = 20
     # Footprint polygon is padded to this many vertices (static shape).

@@ -122,12 +122,13 @@ def sqp_solve(
     cfg: MpcConfig,
     ftol: float | None = None,
     max_iters: int | None = None,
-    qp_iters: int = 60,
+    qp_iters: int | None = None,
     max_backtracks: int = 20,
 ) -> SolveResult:
     """Minimize f over box ∩ cone from warm start x0 (SLSQP-equivalent)."""
     ftol = cfg.opt_tolerance if ftol is None else ftol
-    max_iters = 100 if max_iters is None else max_iters
+    max_iters = cfg.solver_max_iters if max_iters is None else max_iters
+    qp_iters = cfg.qp_iters if qp_iters is None else qp_iters
     m = x0.shape[0]
     val_grad = jax.value_and_grad(f)
 
@@ -224,7 +225,7 @@ def sqp_solve(
 
 
 def make_sqp_solver(cfg: MpcConfig, objective, ftol: float | None = None,
-                    max_iters: int | None = None, qp_iters: int = 60):
+                    max_iters: int | None = None, qp_iters: int | None = None):
     """objective: callable from ops.objective.make_objective (full objective,
     control term included — the SQP treats it smoothly, like SLSQP's finite
     differences do a.e.). Returns solve(x0, scenario) -> SolveResult."""

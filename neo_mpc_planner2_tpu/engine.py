@@ -138,7 +138,11 @@ def solve_step(
     collision = jnp.where(expire, False, collision)
     waiting_time = jnp.where(expire, 0.0, waiting_time)
 
-    ci = jnp.asarray(cfg.control_interval, x.dtype)
+    # The clamp interval comes from the request when provided (py:355 — the
+    # reference uses request.control_interval, not a server parameter).
+    ci = (jnp.asarray(cfg.control_interval, x.dtype)
+          if scen.control_interval is None
+          else jnp.asarray(scen.control_interval, x.dtype))
     acc = jnp.array([cfg.acc_x_limit, cfg.acc_y_limit, cfg.acc_theta_limit], x.dtype) * ci
     clamped = jnp.maximum(jnp.minimum(x[:3], last_control + acc), last_control - acc)
     cmd = jnp.where(blocked, jnp.zeros(3, x.dtype), clamped)

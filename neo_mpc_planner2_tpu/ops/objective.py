@@ -103,10 +103,14 @@ class Scenario:
     # means "use the static config values"; a Weights pytree batches under
     # vmap so one executable serves a whole weight grid.
     weights: "Weights | None" = None
+    # Per-request control interval for the acceleration clamp. The reference
+    # takes this from the service request (py:355; packed at cpp:246), NOT
+    # from a server parameter. None -> cfg.control_interval.
+    control_interval: "jnp.ndarray | None" = None
 
     @staticmethod
     def create(current_pose, carrot_pose, goal_pose, current_vel, footprint, costmap,
-               switch_opt=False, weights=None) -> "Scenario":
+               switch_opt=False, weights=None, control_interval=None) -> "Scenario":
         f32 = lambda a: jnp.asarray(a, jnp.float32)
         return Scenario(
             current_pose=f32(current_pose),
@@ -117,6 +121,7 @@ class Scenario:
             costmap=costmap,
             switch_opt=jnp.asarray(switch_opt, bool),
             weights=weights,
+            control_interval=None if control_interval is None else f32(control_interval),
         )
 
 

@@ -69,6 +69,7 @@ class NpScenario:
     footprint: np.ndarray      # (V, 2) BASE-frame polygon
     costmap: NpCostmap
     switch_opt: bool = False
+    control_interval: float | None = None  # request field (py:355); None -> cfg
 
 
 def _rollout_np(cmd: np.ndarray, dt: float, init: np.ndarray) -> np.ndarray:
@@ -228,8 +229,10 @@ class OracleServer:
                 self.collision = False
                 self.waiting_time = 0.0
         else:
-            # Acceleration clamp around last_control (py:384-391).
-            ci = cfg.control_interval
+            # Acceleration clamp around last_control (py:384-391) using the
+            # REQUEST's control interval (py:355).
+            ci = (scen.control_interval if scen.control_interval is not None
+                  else cfg.control_interval)
             lim = np.array([cfg.acc_x_limit, cfg.acc_y_limit, cfg.acc_theta_limit]) * ci
             out = np.fmax(np.fmin(x[:3], self.last_control + lim), self.last_control - lim)
 

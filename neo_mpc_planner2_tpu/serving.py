@@ -116,6 +116,8 @@ class OptimizerSession:
             footprint=self.footprint,
             costmap=self.costmap,
             switch_opt=bool(msg.get("switch_opt", False)),
+            control_interval=float(msg.get("control_interval",
+                                           self.cfg.control_interval)),
         )
         if "delta_t" in msg:
             delta_t = float(msg["delta_t"])

@@ -1,0 +1,84 @@
+"""Serving-layer tests: the OptimizerSession request handler (in-process) and
+the TCP wire protocol (real socket server in a thread)."""
+
+import threading
+
+import numpy as np
+import pytest
+
+import neo_mpc_planner2_tpu as mpc
+from neo_mpc_planner2_tpu.serving import OptimizerClient, OptimizerSession, serve
+
+
+@pytest.fixture(scope="module")
+def session(cfg):
+    s = OptimizerSession(cfg)
+    s.handle({"op": "set_costmap", "data": np.zeros((40, 40)).tolist(),
+              "origin": [-1, -1], "resolution": 0.05})
+    s.handle({"op": "set_footprint",
+              "points": [[0.3, 0.2], [-0.3, 0.2], [-0.3, -0.2], [0.3, -0.2]]})
+    return s
+
+
+def _opt_req(**kw):
+    req = {"op": "optimizer", "current_pose": [0, 0, 0],
+           "carrot_pose": [0.4, 0.1, 0.2], "goal_pose": [1.0, 0.5, 0.3],
+           "current_vel": [0.3, 0, 0], "control_interval": 0.033,
+           "delta_t": 0.033}
+    req.update(kw)
+    return req
+
+
+class TestSession:
+    def test_ping(self, session):
+        r = session.handle({"op": "ping"})
+        assert r["ok"] and r["backend"] == "cpu"
+
+    def test_optimizer_requires_costmap(self, cfg):
+        s = OptimizerSession(cfg)
+        assert "error" in s.handle(_opt_req())
+
+    def test_optimizer_roundtrip(self, session):
+        r = session.handle(_opt_req())
+        assert "output_vel" in r and len(r["output_vel"]) == 3
+        assert r["success"] in (True, False)
+        assert len(r["local_plan"]) == session.cfg.control_steps
+        # Acceleration clamp from zero last_control.
+        lim = session.cfg.acc_x_limit * 0.033
+        assert abs(r["output_vel"][0]) <= lim + 1e-5
+
+    def test_state_persists_between_calls(self, session):
+        r1 = session.handle(_opt_req())
+        r2 = session.handle(_opt_req())
+        # Warm start + accel ramp: second command moves further.
+        assert abs(r2["output_vel"][0]) >= abs(r1["output_vel"][0]) - 1e-6
+
+    def test_reset(self, session):
+        session.handle(_opt_req())
+        r = session.handle({"op": "reset"})
+        assert r["ok"]
+        assert float(np.abs(np.asarray(session.state.initial_guess)).sum()) == 0.0
+
+    def test_unknown_op(self, session):
+        assert "error" in session.handle({"op": "nope"})
+
+    def test_malformed_request(self, session):
+        assert "error" in session.handle({"op": "optimizer", "current_pose": [0]})
+
+
+class TestWireProtocol:
+    def test_tcp_roundtrip(self, cfg):
+        ready = threading.Event()
+        t = threading.Thread(target=serve,
+                             args=("127.0.0.1", 7981, cfg, ready), daemon=True)
+        t.start()
+        assert ready.wait(10)
+        c = OptimizerClient(port=7981, wait_timeout=10)
+        assert c.call({"op": "ping"})["ok"]
+        c.call({"op": "set_costmap", "data": np.zeros((20, 20)).tolist(),
+                "origin": [-0.5, -0.5], "resolution": 0.05})
+        c.call({"op": "set_footprint",
+                "points": [[0.1, 0.1], [-0.1, 0.1], [-0.1, -0.1], [0.1, -0.1]]})
+        r = c.call(_opt_req())
+        assert "output_vel" in r
+        c.close()

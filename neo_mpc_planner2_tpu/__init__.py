@@ -8,6 +8,7 @@ See SURVEY.md for the layer map and reference citations.
 """
 
 from .config import CompatConfig, MpcConfig, config_from_ros_params, default_config
+from .controller import ControllerException, NeoMpcController
 from .engine import ControlState, MpcEngine, StepResult, controller_step, init_state, solve_step
 from .ops.costmap import Costmap, cost_at_world, cost_at_world_bilinear
 from .ops.footprint import Footprint, footprint_cost, footprint_cost_at_pose, transform_footprint
@@ -21,6 +22,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "CompatConfig", "MpcConfig", "config_from_ros_params", "default_config",
+    "ControllerException", "NeoMpcController",
     "ControlState", "MpcEngine", "StepResult", "controller_step", "init_state", "solve_step",
     "Costmap", "cost_at_world", "cost_at_world_bilinear",
     "Footprint", "footprint_cost", "footprint_cost_at_pose", "transform_footprint",

@@ -1,0 +1,168 @@
+"""Single-robot controller facade — the nav2_core::Controller API surface.
+
+The reference's deployment unit is the `NeoMpcPlanner` plugin, whose public
+interface is the nav2_core::Controller virtual API (include/NeoMpcPlanner.h:
+72-122): configure / activate / deactivate / cleanup / setPlan /
+computeVelocityCommands / setSpeedLimit. This class offers the same lifecycle
+and per-tick API over the TPU engine so a reference user can port call sites
+1:1 — without ROS, and with the whole tick running as one device step instead
+of the plugin→DDS→scipy round trip.
+
+The native C++ front-end (native/) remains available for hosts that want the
+geometry in C++; this facade uses the fused device path.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .config import MpcConfig, config_from_ros_params, default_config
+from .engine import MpcEngine, StepResult
+from .ops.costmap import Costmap
+from .ops.footprint import Footprint
+from .ops.pursuit import Plan
+from .utils.viz import carrot_msg, local_plan_msg
+
+__all__ = ["NeoMpcController", "ControllerException"]
+
+
+class ControllerException(RuntimeError):
+    """Raised like nav2_core::ControllerException (cpp:70, :76, :131, :235)."""
+
+
+class NeoMpcController:
+    """Lifecycle + tick API mirroring the reference plugin.
+
+    >>> ctrl = NeoMpcController()
+    >>> ctrl.configure(params, costmap, footprint)
+    >>> ctrl.activate()
+    >>> ctrl.set_plan(plan_xyyaw)
+    >>> cmd = ctrl.compute_velocity_commands(pose, velocity)
+    """
+
+    def __init__(self) -> None:
+        self.cfg: Optional[MpcConfig] = None
+        self._engine: Optional[MpcEngine] = None
+        self._state = None
+        self._plan: Optional[Plan] = None
+        self._costmap: Optional[Costmap] = None
+        self._footprint: Optional[Footprint] = None
+        self._active = False
+        self._last_time = 0.0
+        self._speed_limit_scale = 1.0
+        self.last_result: Optional[StepResult] = None
+
+    # ---- lifecycle (h:72-90) ----
+    def configure(self, params=None, costmap: Optional[Costmap] = None,
+                  footprint: Optional[Footprint] = None,
+                  parity: bool = True) -> None:
+        """configure() equivalent (cpp:290-334). params: MpcConfig or a dict
+        of reference ROS parameter names."""
+        if isinstance(params, MpcConfig):
+            self.cfg = params
+        elif params is not None:
+            self.cfg = config_from_ros_params(params)
+        else:
+            self.cfg = default_config()
+        self._engine = MpcEngine(self.cfg, parity=parity)
+        self._state = self._engine.init_state()
+        if costmap is not None:
+            self._costmap = costmap
+        if footprint is not None:
+            self._footprint = footprint
+
+    def activate(self) -> None:
+        if self.cfg is None:
+            raise ControllerException("configure() before activate()")
+        self._active = True
+
+    def deactivate(self) -> None:
+        self._active = False
+
+    def cleanup(self) -> None:
+        self._engine = None
+        self._state = None
+        self._plan = None
+
+    # ---- inputs ----
+    def set_costmap(self, costmap: Costmap) -> None:
+        self._costmap = costmap
+
+    def set_footprint(self, footprint: Footprint) -> None:
+        self._footprint = footprint
+
+    def set_plan(self, plan) -> None:
+        """setPlan (cpp:274-281): stores the plan; goal-change handling (the
+        slow-down latch and warm-start reset) happens in-engine via the
+        old_goal comparison, like the server side of the reference."""
+        if self.cfg is None:
+            raise ControllerException("configure() first")
+        if not isinstance(plan, Plan):
+            plan = Plan.create(np.asarray(plan, np.float32),
+                               max_points=self.cfg.max_plan_points)
+        if int(plan.n_valid) == 0:
+            raise ControllerException("Received plan with zero length")  # cpp:70
+        self._plan = plan
+        # New plan: reset the consumed-prefix index (the reference keeps a
+        # fresh copy of the plan, cpp:276).
+        self._state = self._state.replace(plan_start=jnp.int32(0))
+
+    def set_speed_limit(self, speed_limit: float, percentage: bool) -> None:
+        """setSpeedLimit (h:122, cpp:283-288). The reference leaves this
+        EMPTY — a silent no-op. Kept functional here (scales max_vel_trans /
+        box bounds) because a no-op speed limiter on a real robot is a safety
+        bug, not a quirk worth preserving; triggers one recompile."""
+        if self.cfg is None:
+            raise ControllerException("configure() first")
+        scale = (speed_limit / 100.0 if percentage
+                 else speed_limit / self.cfg.max_vel_trans)
+        scale = float(np.clip(scale, 1e-3, 1.0))
+        base = self.cfg
+        self.cfg = base.replace(
+            max_vel_trans=base.max_vel_trans * scale,
+            max_vel_x=base.max_vel_x * scale, min_vel_x=base.min_vel_x * scale,
+            max_vel_y=base.max_vel_y * scale, min_vel_y=base.min_vel_y * scale,
+        )
+        parity = self._engine.parity
+        self._engine = MpcEngine(self.cfg, parity=parity)
+
+    # ---- the tick (cpp:202-254) ----
+    def compute_velocity_commands(self, pose, velocity,
+                                  delta_t: Optional[float] = None) -> np.ndarray:
+        """One control tick. Raises ControllerException on the lethal gate
+        (cpp:234-236 'MPC detected collision!') and on missing inputs."""
+        if not self._active:
+            raise ControllerException("controller not activated")
+        if self._plan is None:
+            raise ControllerException("Received plan with zero length")
+        if self._costmap is None or self._footprint is None:
+            raise ControllerException("costmap/footprint not set")
+
+        if delta_t is None:
+            now = time.time()
+            delta_t = now - self._last_time  # py:369-371 semantics
+            self._last_time = now
+
+        out = self._engine.step(
+            self._state, self._plan,
+            jnp.asarray(pose, jnp.float32), jnp.asarray(velocity, jnp.float32),
+            self._costmap, self._footprint, float(delta_t),
+        )
+        self._state = out.state
+        self.last_result = out
+        if bool(out.lethal):
+            raise ControllerException("MPC detected collision!")  # cpp:235
+        return np.asarray(out.cmd_vel)
+
+    # ---- debug artifacts (A6/B7 parity) ----
+    def debug_msgs(self) -> dict:
+        if self.last_result is None:
+            return {}
+        return {
+            "lookahead_point": carrot_msg(np.asarray(self.last_result.carrot_pose)),
+            "local_plan": local_plan_msg(np.asarray(self.last_result.local_plan)),
+        }

@@ -153,6 +153,11 @@ def sqp_solve(
         # Directional derivative bound for Armijo.
         dphi = jnp.vdot(s.grad, d) - mu * jnp.sum(jnp.maximum(-c, 0.0))
 
+        # Sequential Armijo backtracking. (A fully-parallel K-candidate line
+        # search was measured on TPU: it speeds up warm solves ~20% but
+        # regresses cold solves ~25% — most iterations accept alpha=1 after a
+        # single merit eval, and kink cases need alphas down to 2^-19 that a
+        # narrow parallel window truncates. See PERF.md.)
         def ls_cond(carry):
             alpha, j, ok = carry
             return (~ok) & (j < max_backtracks)

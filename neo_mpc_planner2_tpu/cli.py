@@ -60,12 +60,15 @@ def server_main(argv=None) -> None:
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=7180)
     ap.add_argument("--params-file", default=None)
+    ap.add_argument("--pipelined", action="store_true",
+                    help="advanced-step mode: reply with the previous tick's "
+                         "command while the new solve runs on device")
     args = ap.parse_args(argv)
 
     cfg = (config_from_ros_params(_load_params_file(args.params_file))
            if args.params_file else default_config())
     print(f"[neo-mpc-server] listening on {args.host}:{args.port}", file=sys.stderr)
-    serve(args.host, args.port, cfg)
+    serve(args.host, args.port, cfg, pipelined=args.pipelined)
 
 
 def bench_main(argv=None) -> None:

@@ -52,12 +52,20 @@ class OptimizerSession:
     """Transport-independent request handler (also used directly in tests and
     by the C++ host front-end through the in-process path)."""
 
-    def __init__(self, cfg: Optional[MpcConfig] = None):
+    def __init__(self, cfg: Optional[MpcConfig] = None, pipelined: bool = False):
         self.cfg = cfg or default_config()
         self.costmap: Optional[Costmap] = None
         self.footprint: Optional[Footprint] = None
         self.state = None
         self.last_time = 0.0  # py:138 — first delta_t is huge, like time.time()-0
+        # Advanced-step mode (SURVEY.md §7.8 double-buffered pipeline): return
+        # the PREVIOUS tick's command immediately while this tick's solve runs
+        # asynchronously on device — one control period of command latency in
+        # exchange for hiding the full solve+transport time. Standard
+        # advanced-step MPC; the reference instead blocks the controller
+        # thread for the whole solve (cpp:248-250).
+        self.pipelined = pipelined
+        self._pending = None
         self._rebuild()
 
     def _rebuild(self) -> None:
@@ -73,8 +81,10 @@ class OptimizerSession:
     # ---- ops ----
     def op_configure(self, msg: dict) -> dict:
         self.cfg = config_from_ros_params(msg.get("params", {}))
+        if "pipelined" in msg:
+            self.pipelined = bool(msg["pipelined"])
         self._rebuild()
-        return {"ok": True}
+        return {"ok": True, "pipelined": self.pipelined}
 
     def op_set_costmap(self, msg: dict) -> dict:
         self.costmap = Costmap.create(
@@ -94,6 +104,7 @@ class OptimizerSession:
     def op_reset(self, msg: dict) -> dict:
         self.state = init_state(self.cfg)
         self.last_time = 0.0
+        self._pending = None
         return {"ok": True}
 
     def op_ping(self, msg: dict) -> dict:
@@ -128,6 +139,19 @@ class OptimizerSession:
 
         out = self._step(self.state, scen, jnp.float32(delta_t))
         self.state = out.state
+
+        if self.pipelined:
+            # Serve the previous tick's (already finished) result; the solve
+            # dispatched above completes in the background on device.
+            prev, self._pending = self._pending, out
+            if prev is None:
+                return {"output_vel": [0.0, 0.0, 0.0], "success": True,
+                        "iterations": 0, "cost": 0.0, "collision": False,
+                        "collision_footprint": False, "pipelined_warmup": True,
+                        "local_plan": np.zeros(
+                            (self.cfg.control_steps, 3)).tolist()}
+            out = prev
+
         return {
             "output_vel": np.asarray(out.cmd_vel).tolist(),
             "success": bool(out.solver_converged),
@@ -150,10 +174,11 @@ class OptimizerSession:
 
 
 def serve(host: str = "127.0.0.1", port: int = 7180,
-          cfg: Optional[MpcConfig] = None, ready_event=None) -> None:
+          cfg: Optional[MpcConfig] = None, ready_event=None,
+          pipelined: bool = False) -> None:
     """Blocking single-threaded server loop (ros2 run … mpc_optimization_server
     equivalent, README.md:92)."""
-    session = OptimizerSession(cfg)
+    session = OptimizerSession(cfg, pipelined=pipelined)
 
     class Handler(socketserver.StreamRequestHandler):
         def handle(self) -> None:

@@ -82,3 +82,38 @@ class TestWireProtocol:
         r = c.call(_opt_req())
         assert "output_vel" in r
         c.close()
+
+
+class TestPipelinedMode:
+    def test_advanced_step_returns_previous(self, cfg):
+        s = OptimizerSession(cfg, pipelined=True)
+        s.handle({"op": "set_costmap", "data": np.zeros((40, 40)).tolist(),
+                  "origin": [-1, -1], "resolution": 0.05})
+        s.handle({"op": "set_footprint",
+                  "points": [[0.3, 0.2], [-0.3, 0.2], [-0.3, -0.2], [0.3, -0.2]]})
+        r1 = s.handle(_opt_req())
+        assert r1.get("pipelined_warmup") and r1["output_vel"] == [0, 0, 0]
+        r2 = s.handle(_opt_req())
+        # Second reply carries the FIRST tick's solve.
+        assert "pipelined_warmup" not in r2
+        assert abs(r2["output_vel"][0]) > 0
+        # Matches what a non-pipelined session produces on its first tick.
+        s2 = OptimizerSession(cfg)
+        s2.handle({"op": "set_costmap", "data": np.zeros((40, 40)).tolist(),
+                   "origin": [-1, -1], "resolution": 0.05})
+        s2.handle({"op": "set_footprint",
+                   "points": [[0.3, 0.2], [-0.3, 0.2], [-0.3, -0.2], [0.3, -0.2]]})
+        r_direct = s2.handle(_opt_req())
+        np.testing.assert_allclose(r2["output_vel"], r_direct["output_vel"],
+                                   atol=1e-6)
+
+    def test_reset_clears_pending(self, cfg):
+        s = OptimizerSession(cfg, pipelined=True)
+        s.handle({"op": "set_costmap", "data": np.zeros((40, 40)).tolist(),
+                  "origin": [-1, -1], "resolution": 0.05})
+        s.handle({"op": "set_footprint",
+                  "points": [[0.3, 0.2], [-0.3, 0.2], [-0.3, -0.2], [0.3, -0.2]]})
+        s.handle(_opt_req())
+        s.handle({"op": "reset"})
+        r = s.handle(_opt_req())
+        assert r.get("pipelined_warmup")

@@ -25,15 +25,22 @@ from .ops.costmap import Costmap
 from .ops.footprint import Footprint
 from .ops.pursuit import Plan
 
-__all__ = ["ScenarioBatch", "make_scenario_batch", "mpo700_footprint"]
+__all__ = ["ScenarioBatch", "make_scenario_batch", "mpo700_footprint", "mpo500_footprint"]
 
-# MPO-700 chassis is ~0.73 x 0.55 m; footprint half-extents used for the suite.
+# MPO-700 chassis is ~0.73 x 0.55 m; MPO-500 (mecanum) is ~0.99 x 0.67 m —
+# the two robot families the reference targets (README.md:6).
 MPO700_LENGTH = 0.73
 MPO700_WIDTH = 0.55
+MPO500_LENGTH = 0.99
+MPO500_WIDTH = 0.67
 
 
 def mpo700_footprint(max_vertices: int = 8) -> Footprint:
     return Footprint.rectangle(MPO700_LENGTH, MPO700_WIDTH, max_vertices)
+
+
+def mpo500_footprint(max_vertices: int = 8) -> Footprint:
+    return Footprint.rectangle(MPO500_LENGTH, MPO500_WIDTH, max_vertices)
 
 
 class ScenarioBatch(NamedTuple):

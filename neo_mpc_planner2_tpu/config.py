@@ -46,8 +46,8 @@ class CompatConfig:
     lethal_1000x: bool = True
 
     # mpc_optimization_server.py:253-254 — control cost multiplies the norm
-    # (NOT norm²) of the velocity delta. Kept either way; flag reserved for a
-    # future smoothed product objective.
+    # (NOT norm²) of the velocity delta. Off => the conventional smooth
+    # squared-norm term (and the prox solver treats it in the gradient path).
     unsquared_control_cost: bool = True
 
     # mpc_optimization_server.py:251,267 — orientation errors are raw

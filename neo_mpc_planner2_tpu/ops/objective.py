@@ -137,12 +137,6 @@ def buggy_odom_yaw(current_yaw: jnp.ndarray, goal_yaw: jnp.ndarray) -> jnp.ndarr
     return jnp.arctan2(2.0 * wg * zc, 1.0 - 2.0 * zc * zc)
 
 
-def safe_norm(x: jnp.ndarray) -> jnp.ndarray:
-    """L2 norm over the last axis with gradient 0 (a valid subgradient) at 0."""
-    s = jnp.sum(x**2, axis=-1)
-    return jnp.where(s == 0.0, 0.0, jnp.sqrt(jnp.where(s == 0.0, 1.0, s)))
-
-
 def resolve_weights(scen: "Scenario", cfg: MpcConfig) -> "Weights":
     """Per-scenario weights when provided, else the static config values."""
     return scen.weights if scen.weights is not None else Weights.from_config(cfg)
@@ -150,16 +144,21 @@ def resolve_weights(scen: "Scenario", cfg: MpcConfig) -> "Weights":
 
 def control_cost(cmd_flat: jnp.ndarray, current_vel: jnp.ndarray, cfg: MpcConfig,
                  w_control=None) -> jnp.ndarray:
-    """The nonsmooth control-effort term (py:253-254): w_control · Σ_i
-    ‖current_vel − u_i‖ / N — the norm, NOT the squared norm
-    (CompatConfig.unsquared_control_cost). Kept separate from the smooth terms
-    so the solver can treat it by its proximal operator (block soft-threshold
-    toward current_vel) instead of stalling on the kink at u_i == current_vel.
+    """The control-effort term (py:253-254): w_control · Σ_i
+    ‖current_vel − u_i‖ / N — the norm, NOT the squared norm, when
+    CompatConfig.unsquared_control_cost (the reference behavior). Kept
+    separate from the smooth terms so the solver can treat the nonsmooth norm
+    by its proximal operator (block soft-threshold toward current_vel) instead
+    of stalling on the kink at u_i == current_vel. With the flag off the term
+    is the smooth squared norm (the conventional formulation).
     """
     cmd = cmd_flat.reshape(cfg.control_steps, 3)
-    dv = safe_norm(current_vel[None, :] - cmd)
+    d2 = jnp.sum((current_vel[None, :] - cmd) ** 2, axis=-1)
     wc = cfg.w_control if w_control is None else w_control
-    return wc * jnp.sum(dv) / cfg.control_steps
+    if cfg.compat.unsquared_control_cost:
+        dv = jnp.where(d2 == 0.0, 0.0, jnp.sqrt(jnp.where(d2 == 0.0, 1.0, d2)))
+        return wc * jnp.sum(dv) / cfg.control_steps
+    return wc * jnp.sum(d2) / cfg.control_steps
 
 
 def _stage_and_terminal(cfg, scen, cmd, body_traj, odom_traj, costmap_point_cost,
@@ -245,9 +244,10 @@ def objective_parity(
         fp_term = parity_footprint_term(scen, cfg)
     fp_per_step = jnp.full((n,), 1.0) * fp_term
 
+    err_fn = (lambda e: e) if cfg.compat.no_angle_wrap else wrap_angle
     return _stage_and_terminal(
         cfg, scen, cmd, body_traj, odom_traj, pc, fp_per_step,
-        orient_err_fn=lambda e: e, include_control=include_control,
+        orient_err_fn=err_fn, include_control=include_control,
     )
 
 

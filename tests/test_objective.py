@@ -98,3 +98,26 @@ def test_compat_flag_disables_buggy_yaw(cfg, empty_costmap, footprint):
     v_buggy = float(mpc.make_objective(cfg)(u, scen))
     v_fixed = float(mpc.make_objective(cfg_fixed)(u, scen))
     assert v_buggy != v_fixed
+
+
+def test_compat_flags_wired(cfg, empty_costmap, footprint):
+    """no_angle_wrap and unsquared_control_cost must actually change the
+    objective when toggled."""
+    import dataclasses
+
+    scen = mpc.Scenario.create([0, 0, 0], [0.4, 0.1, 3.0], [1, 0.5, 0.3],
+                               [0.3, 0.2, 0.1], footprint, empty_costmap)
+    u = jnp.asarray(np.full(9, 0.25), jnp.float32)
+    base = float(mpc.make_objective(cfg)(u, scen))
+
+    wrap_cfg = cfg.replace(compat=dataclasses.replace(cfg.compat,
+                                                      no_angle_wrap=False))
+    assert float(mpc.make_objective(wrap_cfg)(u, scen)) != base
+
+    sq_cfg = cfg.replace(compat=dataclasses.replace(
+        cfg.compat, unsquared_control_cost=False))
+    assert float(mpc.make_objective(sq_cfg)(u, scen)) != base
+    # Squared-control solver path still works (smooth route).
+    res = mpc.make_solver(sq_cfg, mpc.make_objective(sq_cfg), ftol=1e-8,
+                          max_iters=300)(jnp.zeros(9), scen)
+    assert np.all(np.isfinite(np.asarray(res.x)))

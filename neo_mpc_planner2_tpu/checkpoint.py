@@ -45,6 +45,8 @@ def load_state(path: str, template: Optional[ControlState] = None) -> ControlSta
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    if template is not None:
-        return ckptr.restore(os.path.abspath(path), args=ocp.args.StandardRestore(template))
-    return ckptr.restore(os.path.abspath(path))
+    restored = ckptr.restore(os.path.abspath(path), template)
+    if template is not None and not isinstance(restored, ControlState):
+        restored = ControlState(**{f: restored[f] for f in _FIELDS}) \
+            if isinstance(restored, dict) else restored
+    return restored

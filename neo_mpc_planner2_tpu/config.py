@@ -153,10 +153,18 @@ def config_from_ros_params(params: Mapping[str, Any]) -> MpcConfig:
     plugin params (NeoMpcPlanner.cpp:311-323). Unknown keys are ignored so a
     full navigation.yaml section can be passed straight through.
     """
-    fields = {f.name for f in dataclasses.fields(MpcConfig)}
+    field_types = {f.name: f.type for f in dataclasses.fields(MpcConfig)}
     kw = {}
     for key, value in params.items():
         name = _ROS_ALIASES.get(key, key)
-        if name in fields and name != "compat":
+        if name in field_types and name != "compat":
+            # ROS/yaml quirk: scientific notation without a dot ("1e-3")
+            # parses as a *string* under YAML 1.1; the rclpy parameter loader
+            # coerces it, so we do too (typed by the config field).
+            t = str(field_types[name])
+            if isinstance(value, str) and "float" in t:
+                value = float(value)
+            elif isinstance(value, str) and "int" in t:
+                value = int(float(value))
             kw[name] = value
     return MpcConfig(**kw)

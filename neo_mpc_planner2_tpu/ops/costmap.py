@@ -51,6 +51,31 @@ class Costmap:
             resolution=jnp.asarray(resolution, jnp.float32),
         )
 
+    @staticmethod
+    def from_nav2_costmap(raw, origin=(0.0, 0.0), resolution=0.05) -> "Costmap":
+        """From the raw nav2 Costmap2D 0-255 scale (the C++ plugin's world,
+        NeoMpcPlanner.cpp:218/234): 255 (lethal) and 254 (inscribed) map to
+        1.0; other values scale linearly by 1/255 — matching how the Python
+        server's normalized costmap relates to the raw one (getCost==1.0 is
+        the lethal test at py:257)."""
+        raw = jnp.asarray(raw)
+        norm = jnp.where(raw >= 254, 1.0, raw.astype(jnp.float32) / 255.0)
+        return Costmap.create(norm, origin, resolution)
+
+    @staticmethod
+    def from_occupancy_grid(grid, origin=(0.0, 0.0), resolution=0.05,
+                            unknown_is_lethal=True) -> "Costmap":
+        """From a nav_msgs/OccupancyGrid payload (int8: 0..100 occupancy,
+        -1 unknown). 100 -> 1.0 lethal; unknown -> lethal by default (the
+        conservative nav2 convention for unknown space)."""
+        g = jnp.asarray(grid)
+        norm = jnp.clip(g.astype(jnp.float32) / 100.0, 0.0, 1.0)
+        if unknown_is_lethal:
+            norm = jnp.where(g < 0, 1.0, norm)
+        else:
+            norm = jnp.where(g < 0, 0.0, norm)
+        return Costmap.create(norm, origin, resolution)
+
     @property
     def shape(self):
         return self.data.shape

@@ -1,0 +1,122 @@
+"""Config / IO parity: the reference's verbatim navigation.yaml sample
+(README.md:27-86) must load 1:1; raw-scale costmap converters."""
+
+import numpy as np
+import pytest
+
+import neo_mpc_planner2_tpu as mpc
+from neo_mpc_planner2_tpu.cli import _load_params_file
+
+# Verbatim from /root/reference/README.md:27-86 (the sample parameters users
+# already have in their navigation.yaml).
+REFERENCE_SAMPLE_YAML = """
+controller_server:
+  ros__parameters:
+    controller_plugins: ["FollowPath"]
+    controller_frequency: 30.0
+    controller_plugin_types: ["neo_mpc_planner::NeoMpcPlanner"]
+    goal_checker_plugins: ["general_goal_checker"]
+    progress_checker:
+      plugin: "nav2_controller::SimpleProgressChecker"
+      required_movement_radius: 0.5
+      movement_time_allowance: 100.0
+    general_goal_checker:
+      plugin: "nav2_controller::SimpleGoalChecker"
+      xy_goal_tolerance: 0.03
+      yaw_goal_tolerance: 0.03
+      stateful: True
+    FollowPath:
+      plugin: "neo_mpc_planner::NeoMpcPlanner"
+      lookahead_dist_min: 0.4
+      lookahead_dist_max: 0.4
+      lookahead_dist_close_to_goal: 0.4
+      control_steps: 3
+
+mpc_optimization_server:
+  ros__parameters:
+    acc_x_limit: 2.5
+    acc_y_limit: 2.5
+    acc_theta_limit: 3.0
+    min_vel_x: -0.7
+    min_vel_y: -0.7
+    min_vel_trans: -0.7
+    min_vel_theta: -0.7
+    max_vel_x: 0.7
+    max_vel_y: 0.7
+    max_vel_trans: 0.7
+    max_vel_theta: 0.7
+    w_trans: 0.82
+    w_orient: 0.50
+    w_control: 0.05
+    w_terminal: 0.05
+    w_footprint: 0
+    w_costmap: 0.05
+    waiting_time: 3.0
+    low_pass_gain: 0.5
+    opt_tolerance: 1e-3
+    prediction_horizon: 0.8
+    control_steps: 3
+"""
+
+
+def test_reference_sample_yaml_loads(tmp_path):
+    p = tmp_path / "navigation.yaml"
+    p.write_text(REFERENCE_SAMPLE_YAML)
+    params = _load_params_file(str(p))
+    cfg = mpc.config_from_ros_params(params)
+
+    # Server section (README.md:53-84).
+    assert cfg.acc_x_limit == 2.5
+    assert cfg.acc_theta_limit == 3.0
+    assert cfg.min_vel_x == -0.7
+    assert cfg.max_vel_trans == 0.7
+    assert cfg.w_trans == 0.82
+    assert cfg.w_footprint == 0
+    assert cfg.opt_tolerance == pytest.approx(1e-3)
+    assert cfg.prediction_horizon == 0.8
+    assert cfg.control_steps == 3
+    assert cfg.dt == pytest.approx(0.8 / 3)
+    # Plugin section (README.md:44-49) + controller frequency (README.md:32).
+    assert cfg.lookahead_dist_min == 0.4
+    assert cfg.lookahead_dist_close_to_goal == 0.4
+    assert cfg.controller_frequency == 30.0
+    assert cfg.control_interval == pytest.approx(1.0 / 30.0)
+
+
+class TestRawScaleCostmaps:
+    def test_nav2_raw_scale(self):
+        raw = np.zeros((10, 10), np.uint8)
+        raw[0, 0] = 255   # lethal
+        raw[0, 1] = 254   # inscribed
+        raw[0, 2] = 200   # the slow-down gate value
+        cm = mpc.Costmap.from_nav2_costmap(raw, origin=(0, 0), resolution=0.1)
+        d = np.asarray(cm.data)
+        assert d[0, 0] == 1.0
+        assert d[0, 1] == 1.0
+        assert d[0, 2] == pytest.approx(200 / 255)
+
+    def test_occupancy_grid(self):
+        g = np.zeros((5, 5), np.int8)
+        g[1, 1] = 100
+        g[2, 2] = -1  # unknown
+        g[3, 3] = 50
+        cm = mpc.Costmap.from_occupancy_grid(g)
+        d = np.asarray(cm.data)
+        assert d[1, 1] == 1.0
+        assert d[2, 2] == 1.0
+        assert d[3, 3] == pytest.approx(0.5)
+        cm2 = mpc.Costmap.from_occupancy_grid(g, unknown_is_lethal=False)
+        assert np.asarray(cm2.data)[2, 2] == 0.0
+
+
+def test_orbax_checkpoint_roundtrip(cfg, tmp_path):
+    from neo_mpc_planner2_tpu.checkpoint import load_state, save_state
+
+    st = mpc.init_state(cfg)
+    st = st.replace(initial_guess=np.arange(9, dtype=np.float32))
+    path = str(tmp_path / "orbax_ckpt")
+    save_state(path, st)
+    back = load_state(path, template=st)
+    np.testing.assert_array_equal(np.asarray(back.initial_guess),
+                                  np.asarray(st.initial_guess))
+    assert bool(back.slow_down) == bool(st.slow_down)

@@ -18,3 +18,9 @@ esac
 
 g++ -std=c++17 -shared -fPIC -Wall -Wextra $FLAGS -o "$OUT" "$SRC"
 echo "built $OUT"
+
+# Pure-C++ test binary (no Python): links the host sources directly.
+TEST_BIN=neo_mpc_planner2_tpu/native/host_test
+g++ -std=c++17 -Wall -Wextra $FLAGS -o "$TEST_BIN" \
+    neo_mpc_planner2_tpu/native/src/host_test_main.cpp "$SRC"
+echo "built $TEST_BIN"

@@ -6,6 +6,10 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+# Pure-C++ test binary first (release flags).
+./scripts/build_native.sh >/dev/null
+./neo_mpc_planner2_tpu/native/host_test
+
 for flavor in asan ubsan; do
   BUILD_FLAVOR=$flavor ./scripts/build_native.sh
   LIB="neo_mpc_planner2_tpu/native/libneo_mpc_host_${flavor}.so"

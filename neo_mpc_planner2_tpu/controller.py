@@ -106,10 +106,19 @@ class NeoMpcController:
                                max_points=self.cfg.max_plan_points)
         if int(plan.n_valid) == 0:
             raise ControllerException("Received plan with zero length")  # cpp:70
+        # Goal change latches slow-down (cpp:277-279) so the next tick uses
+        # the conservative lookahead until the hysteresis clears it.
+        new_goal = np.asarray(plan.goal())
+        goal_changed = (self._plan is None or
+                        not np.array_equal(np.asarray(self._plan.goal()),
+                                           new_goal))
         self._plan = plan
         # New plan: reset the consumed-prefix index (the reference keeps a
         # fresh copy of the plan, cpp:276).
-        self._state = self._state.replace(plan_start=jnp.int32(0))
+        self._state = self._state.replace(
+            plan_start=jnp.int32(0),
+            slow_down=jnp.asarray(bool(goal_changed) or bool(self._state.slow_down)),
+        )
 
     def set_speed_limit(self, speed_limit: float, percentage: bool) -> None:
         """setSpeedLimit (h:122, cpp:283-288). The reference leaves this

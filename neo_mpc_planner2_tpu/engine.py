@@ -25,7 +25,7 @@ from .ops.footprint import Footprint, footprint_cost, transform_footprint
 from .ops.objective import Scenario, make_objective
 from .ops.pursuit import Plan, pursuit_tick
 from .ops.rollout import rollout
-from .solver import make_solver
+
 
 __all__ = ["ControlState", "StepResult", "init_state", "solve_step", "controller_step", "MpcEngine"]
 

@@ -32,7 +32,7 @@ import json
 import socket
 import socketserver
 import time
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

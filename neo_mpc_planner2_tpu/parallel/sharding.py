@@ -102,6 +102,10 @@ class ShardedEngine:
     >>> eng = ShardedEngine(cfg, make_mesh())
     >>> state = eng.init_state(4096)
     >>> out, metrics = eng.step(state, plans, poses, vels, costmaps, fps, dts)
+
+    With donate_state=True (default) the input state buffer is donated to XLA
+    each step: always thread `out.state` forward; re-using a donated state
+    array raises. Pass donate_state=False for ad-hoc replays of old states.
     """
 
     def __init__(self, cfg: MpcConfig, mesh: Mesh | None = None,

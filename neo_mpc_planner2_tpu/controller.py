@@ -25,7 +25,7 @@ from .engine import MpcEngine, StepResult
 from .ops.costmap import Costmap
 from .ops.footprint import Footprint
 from .ops.pursuit import Plan
-from .utils.viz import carrot_msg, local_plan_msg
+from .utils.viz import carrot_msg, local_plan_msg, predicted_footprint_msg
 
 __all__ = ["NeoMpcController", "ControllerException"]
 
@@ -171,7 +171,13 @@ class NeoMpcController:
     def debug_msgs(self) -> dict:
         if self.last_result is None:
             return {}
-        return {
+        msgs = {
             "lookahead_point": carrot_msg(np.asarray(self.last_result.carrot_pose)),
             "local_plan": local_plan_msg(np.asarray(self.last_result.local_plan)),
         }
+        if self._footprint is not None:
+            nv = int(self._footprint.n_valid)
+            msgs["predicted_footprint"] = predicted_footprint_msg(
+                np.asarray(self._footprint.vertices)[:nv],
+                np.asarray(self.last_result.local_plan)[-1])
+        return msgs

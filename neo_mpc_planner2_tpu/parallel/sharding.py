@@ -53,13 +53,8 @@ def make_mesh(devices: Sequence[jax.Device] | None = None,
     return Mesh(dev_array, ("host", "chip"))
 
 
-def _batch_sharding(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P(("host", "chip")))
-
-
 def shard_batch(tree: Any, mesh: Mesh) -> Any:
     """Place every leaf with its leading (scenario) axis sharded over the mesh."""
-    s = _batch_sharding(mesh)
 
     def put(x):
         x = jnp.asarray(x)

@@ -16,7 +16,7 @@ import numpy as np
 
 from .se2_np import quat_from_yaw_np
 
-__all__ = ["local_plan_msg", "carrot_msg", "plan_msg"]
+__all__ = ["local_plan_msg", "carrot_msg", "plan_msg", "predicted_footprint_msg"]
 
 
 def _pose_dict(x: float, y: float, yaw: float) -> Dict[str, Any]:
@@ -43,6 +43,21 @@ def carrot_msg(carrot_pose: np.ndarray, frame_id: str = "base_link") -> Dict[str
     c = np.asarray(carrot_pose)
     return {"header": {"frame_id": frame_id},
             "point": {"x": float(c[0]), "y": float(c[1]), "z": 0.01}}
+
+
+def predicted_footprint_msg(footprint_vertices: np.ndarray,
+                            terminal_pose: np.ndarray,
+                            frame_id: str = "map") -> Dict[str, Any]:
+    """PolygonStamped-shaped dict: the footprint placed at the predicted
+    terminal pose. The reference creates this publisher but never publishes to
+    it (mpc_optimization_server.py:108, SURVEY.md §5 observability row) — here
+    it actually carries the predicted footprint."""
+    x, y, yaw = [float(v) for v in np.asarray(terminal_pose)]
+    c, s = np.cos(yaw), np.sin(yaw)
+    pts = [{"x": x + float(px) * c - float(py) * s,
+            "y": y + float(px) * s + float(py) * c, "z": 0.0}
+           for px, py in np.asarray(footprint_vertices)]
+    return {"header": {"frame_id": frame_id}, "polygon": {"points": pts}}
 
 
 def plan_msg(poses: np.ndarray, n_valid: int, frame_id: str = "base_link") -> Dict[str, Any]:

@@ -99,3 +99,24 @@ def test_integrate_cmd_np_matches_rollout():
     want = np.asarray(mpc.rollout(jnp.asarray(cmd)[None, :], jnp.float32(0.1),
                                   jnp.asarray(pose, jnp.float32)))[0]
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_predicted_footprint_msg():
+    from neo_mpc_planner2_tpu.utils.viz import predicted_footprint_msg
+
+    m = predicted_footprint_msg(np.array([[0.3, 0.2], [-0.3, 0.2]]),
+                                np.array([1.0, 2.0, np.pi / 2]))
+    p0 = m["polygon"]["points"][0]
+    assert p0["x"] == pytest.approx(1.0 - 0.2)
+    assert p0["y"] == pytest.approx(2.0 + 0.3)
+
+
+def test_device_trace_writes(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from neo_mpc_planner2_tpu.utils.profiling import device_trace
+
+    with device_trace(str(tmp_path / "trace")):
+        jax.jit(lambda x: x * 2)(jnp.ones(8)).block_until_ready()
+    import os
+    assert any(os.scandir(tmp_path / "trace"))

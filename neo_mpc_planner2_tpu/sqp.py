@@ -59,6 +59,49 @@ def _cone_constraints(x: jnp.ndarray, cfg: MpcConfig):
     return c, J
 
 
+def _chol_inverse(M: jnp.ndarray) -> jnp.ndarray:
+    """Exact SPD inverse via fully-unrolled Cholesky + triangular solves.
+
+    m = 3·control_steps is tiny and static, so the factorization unrolls into
+    ~m²/2 fused scalar ops and the two triangular solves into ~m² vector ops —
+    all batched elementwise under vmap, no LAPACK custom-calls (jax.scipy's
+    cho_factor lowers to a ~3.8 ms custom-call per batched solve on TPU; this
+    unrolled form is pure VPU work).
+    """
+    m = M.shape[-1]
+    tiny = jnp.asarray(1e-20, M.dtype)
+
+    # Cholesky factor L (lower), unrolled.
+    L = [[None] * m for _ in range(m)]
+    for j in range(m):
+        s = M[..., j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        L[j][j] = jnp.sqrt(jnp.maximum(s, tiny))
+        for i in range(j + 1, m):
+            s = M[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s / L[j][j]
+
+    eye = jnp.eye(m, dtype=M.dtype)
+    # Forward substitution L Y = I, row by row (each row is (..., m)).
+    Y = [None] * m
+    for i in range(m):
+        acc = jnp.broadcast_to(eye[i], M.shape[:-2] + (m,))
+        for k in range(i):
+            acc = acc - L[i][k][..., None] * Y[k]
+        Y[i] = acc / L[i][i][..., None]
+    # Back substitution Lᵀ X = Y.
+    X = [None] * m
+    for i in reversed(range(m)):
+        acc = Y[i]
+        for k in range(i + 1, m):
+            acc = acc - L[k][i][..., None] * X[k]
+        X[i] = acc / L[i][i][..., None]
+    return jnp.stack(X, axis=-2)
+
+
 def _qp_admm(B, g, x, c, J, cfg: MpcConfig, iters: int, rho: float = 1.0,
              sigma: float = 1e-6):
     """OSQP-style ADMM for  min ½dᵀBd + gᵀd  s.t.  lo−x ≤ d ≤ hi−x,
@@ -75,13 +118,9 @@ def _qp_admm(B, g, x, c, J, cfg: MpcConfig, iters: int, rho: float = 1.0,
     dhi = hi - x
 
     M = B + (sigma + rho) * jnp.eye(m, dtype=x.dtype) + rho * (J.T @ J)
-    # Explicit inverse (via Cholesky solve against I), computed ONCE per QP:
-    # the ADMM iterations then reduce to dense matvecs, which batch onto the
-    # MXU as (batch, m, m) × (batch, m) contractions instead of sequential
-    # triangular solves. m is 3·control_steps (tiny), so the inverse is cheap
-    # and numerically safe for these well-conditioned regularized systems.
-    Minv = jax.scipy.linalg.cho_solve(
-        jax.scipy.linalg.cho_factor(M), jnp.eye(m, dtype=x.dtype))
+    # Explicit inverse, computed ONCE per QP: the ADMM iterations then reduce
+    # to dense matvecs. M is SPD (damped-BFGS B + σI + ρ(I + JᵀJ)).
+    Minv = _chol_inverse(M)
 
     def step(carry, _):
         d, zb, zc, wb, wc = carry
@@ -123,8 +162,14 @@ def sqp_solve(
     ftol: float | None = None,
     max_iters: int | None = None,
     qp_iters: int | None = None,
-    max_backtracks: int = 20,
+    max_backtracks: int = 16,
 ) -> SolveResult:
+    # max_backtracks: under vmap every lane pays the slowest lane's backtrack
+    # count, and at fleet batch sizes some lane is always at the nonsmooth
+    # kink, so the line-search while runs the full budget every iteration.
+    # Steps below 2^-15·d are under float32 resolution of the iterate —
+    # nothing is lost cutting there, and each halving costs one full
+    # objective evaluation for the whole batch.
     """Minimize f over box ∩ cone from warm start x0 (SLSQP-equivalent)."""
     ftol = cfg.opt_tolerance if ftol is None else ftol
     max_iters = cfg.solver_max_iters if max_iters is None else max_iters

@@ -180,3 +180,35 @@ class TestProxFista:
                              ftol=1e-10, max_iters=200)
         np.testing.assert_allclose(res.x.reshape(3, 3), np.tile(v, (3, 1)),
                                    atol=1e-3)
+
+
+class TestCholInverse:
+    def test_matches_numpy_inverse(self):
+        from neo_mpc_planner2_tpu.sqp import _chol_inverse
+
+        rng = np.random.default_rng(11)
+        for _ in range(10):
+            A = rng.normal(size=(9, 9))
+            M = A @ A.T + np.eye(9) * rng.uniform(0.5, 2.0)  # SPD
+            got = np.asarray(_chol_inverse(jnp.asarray(M, jnp.float32)))
+            want = np.linalg.inv(M)
+            assert np.abs(got - want).max() < 2e-4 * np.abs(want).max()
+
+    def test_batched_and_vmapped(self):
+        from neo_mpc_planner2_tpu.sqp import _chol_inverse
+
+        rng = np.random.default_rng(12)
+        A = rng.normal(size=(16, 9, 9))
+        M = (A @ np.swapaxes(A, -1, -2) + np.eye(9)).astype(np.float32)
+        got = np.asarray(_chol_inverse(jnp.asarray(M)))
+        err = np.abs(got @ M - np.eye(9)).max()
+        assert err < 2e-4
+        got_v = np.asarray(jax.vmap(_chol_inverse)(jnp.asarray(M)))
+        np.testing.assert_allclose(got_v, got, atol=1e-6)
+
+    def test_ill_conditioned(self):
+        from neo_mpc_planner2_tpu.sqp import _chol_inverse
+
+        d = np.diag([1e4, 1e3, 1e2, 10, 1, 1, 0.1, 0.01, 1e-3]).astype(np.float32)
+        got = np.asarray(_chol_inverse(jnp.asarray(d)))
+        np.testing.assert_allclose(np.diag(got), 1.0 / np.diag(d), rtol=1e-4)

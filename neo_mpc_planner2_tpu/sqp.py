@@ -164,13 +164,15 @@ def sqp_solve(
     qp_iters: int | None = None,
     max_backtracks: int = 16,
 ) -> SolveResult:
-    # max_backtracks: under vmap every lane pays the slowest lane's backtrack
-    # count, and at fleet batch sizes some lane is always at the nonsmooth
-    # kink, so the line-search while runs the full budget every iteration.
-    # Steps below 2^-15·d are under float32 resolution of the iterate —
-    # nothing is lost cutting there, and each halving costs one full
-    # objective evaluation for the whole batch.
-    """Minimize f over box ∩ cone from warm start x0 (SLSQP-equivalent)."""
+    """Minimize f over box ∩ cone from warm start x0 (SLSQP-equivalent).
+
+    max_backtracks: under vmap every lane pays the slowest lane's backtrack
+    count, and at fleet batch sizes some lane is always at the nonsmooth kink,
+    so the line-search while runs the full budget every iteration. Steps below
+    2^-15·d are under float32 resolution of the iterate — nothing is lost
+    capping there, and each halving costs one full objective evaluation for
+    the whole batch.
+    """
     ftol = cfg.opt_tolerance if ftol is None else ftol
     max_iters = cfg.solver_max_iters if max_iters is None else max_iters
     qp_iters = cfg.qp_iters if qp_iters is None else qp_iters

@@ -74,6 +74,9 @@ class NeoMpcController:
             self._costmap = costmap
         if footprint is not None:
             self._footprint = footprint
+        # Speed limits scale from the configured maxima (cpp setSpeedLimit
+        # doc: "percentage from maximum robot speed"), not compounding.
+        self._base_cfg = self.cfg
 
     def activate(self) -> None:
         if self.cfg is None:
@@ -127,10 +130,10 @@ class NeoMpcController:
         bug, not a quirk worth preserving; triggers one recompile."""
         if self.cfg is None:
             raise ControllerException("configure() first")
+        base = self._base_cfg
         scale = (speed_limit / 100.0 if percentage
-                 else speed_limit / self.cfg.max_vel_trans)
+                 else speed_limit / base.max_vel_trans)
         scale = float(np.clip(scale, 1e-3, 1.0))
-        base = self.cfg
         self.cfg = base.replace(
             max_vel_trans=base.max_vel_trans * scale,
             max_vel_x=base.max_vel_x * scale, min_vel_x=base.min_vel_x * scale,

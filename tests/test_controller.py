@@ -89,3 +89,12 @@ class TestSpeedLimit:
     def test_absolute_limit(self, ctrl):
         ctrl.set_speed_limit(0.35, percentage=False)
         assert ctrl.cfg.max_vel_trans == pytest.approx(0.35)
+
+    def test_repeated_percentage_does_not_compound(self, ctrl):
+        base = ctrl.cfg.max_vel_trans
+        ctrl.set_speed_limit(50.0, percentage=True)
+        ctrl.set_speed_limit(50.0, percentage=True)
+        # "percentage from maximum robot speed" — not of the current limit.
+        assert ctrl.cfg.max_vel_trans == pytest.approx(base * 0.5)
+        ctrl.set_speed_limit(100.0, percentage=True)
+        assert ctrl.cfg.max_vel_trans == pytest.approx(base)

@@ -53,15 +53,22 @@ class NeoMpcController:
         self._footprint: Optional[Footprint] = None
         self._active = False
         self._last_time = 0.0
-        self._speed_limit_scale = 1.0
+        self._native = None
         self.last_result: Optional[StepResult] = None
 
     # ---- lifecycle (h:72-90) ----
     def configure(self, params=None, costmap: Optional[Costmap] = None,
                   footprint: Optional[Footprint] = None,
-                  parity: bool = True) -> None:
+                  parity: bool = True, native_geometry: bool = False) -> None:
         """configure() equivalent (cpp:290-334). params: MpcConfig or a dict
-        of reference ROS parameter names."""
+        of reference ROS parameter names.
+
+        native_geometry=True routes the pursuit geometry (plan pruning, carrot
+        selection, hysteresis, lethal gate) through the C++ host library
+        (native/, the reference's Layer A in native code) and only the solve
+        runs on device — the two-layer deployment shape with no TCP hop.
+        Requires scripts/build_native.sh to have been run.
+        """
         if isinstance(params, MpcConfig):
             self.cfg = params
         elif params is not None:
@@ -70,6 +77,28 @@ class NeoMpcController:
             self.cfg = default_config()
         self._engine = MpcEngine(self.cfg, parity=parity)
         self._state = self._engine.init_state()
+        self._native = None
+        if native_geometry:
+            from .native.host import NativeHost
+
+            self._native = NativeHost(
+                lookahead_dist_min=self.cfg.lookahead_dist_min,
+                lookahead_dist_max=self.cfg.lookahead_dist_max,
+                lookahead_dist_close_to_goal=self.cfg.lookahead_dist_close_to_goal,
+                controller_frequency=self.cfg.controller_frequency,
+            )
+            from .ops.objective import make_objective
+            from .sqp import make_sqp_solver
+            from .engine import solve_step
+            import jax
+
+            solver = make_sqp_solver(self.cfg, make_objective(self.cfg, parity=parity))
+            cfg = self.cfg
+
+            def _solve(state, scen, dt):
+                return solve_step(cfg, state, scen, dt, solver=solver)
+
+            self._native_solve = jax.jit(_solve)
         if costmap is not None:
             self._costmap = costmap
         if footprint is not None:
@@ -122,6 +151,9 @@ class NeoMpcController:
             plan_start=jnp.int32(0),
             slow_down=jnp.asarray(bool(goal_changed) or bool(self._state.slow_down)),
         )
+        if self._native is not None:
+            nv = int(plan.n_valid)
+            self._native.set_plan(np.asarray(plan.poses)[:nv])
 
     def set_speed_limit(self, speed_limit: float, percentage: bool) -> None:
         """setSpeedLimit (h:122, cpp:283-288). The reference leaves this
@@ -159,6 +191,9 @@ class NeoMpcController:
             delta_t = now - self._last_time  # py:369-371 semantics
             self._last_time = now
 
+        if self._native is not None:
+            return self._tick_native(pose, velocity, float(delta_t))
+
         out = self._engine.step(
             self._state, self._plan,
             jnp.asarray(pose, jnp.float32), jnp.asarray(velocity, jnp.float32),
@@ -168,6 +203,37 @@ class NeoMpcController:
         self.last_result = out
         if bool(out.lethal):
             raise ControllerException("MPC detected collision!")  # cpp:235
+        return np.asarray(out.cmd_vel)
+
+    def _tick_native(self, pose, velocity, delta_t: float) -> np.ndarray:
+        """C++ geometry + device solve (the reference's two-layer split,
+        minus the transport)."""
+        from .native.host import (NMP_ERR_EMPTY_PLAN, NMP_ERR_LETHAL,
+                                  NMP_ERR_NO_WINDOW, NMP_OK)
+        from .ops.objective import Scenario
+
+        nv = int(self._footprint.n_valid)
+        fp_np = np.asarray(self._footprint.vertices)[:nv]
+        status, req = self._native.tick(
+            np.asarray(pose, float), np.asarray(velocity, float),
+            np.asarray(self._costmap.data), np.asarray(self._costmap.origin),
+            float(self._costmap.resolution), fp_np)
+        if status == NMP_ERR_EMPTY_PLAN:
+            raise ControllerException("Received plan with zero length")
+        if status == NMP_ERR_NO_WINDOW:
+            raise ControllerException("Resulting plan has 0 poses in it.")
+        if status == NMP_ERR_LETHAL:
+            raise ControllerException("MPC detected collision!")
+        assert status == NMP_OK, status
+
+        scen = Scenario.create(
+            current_pose=req.current_pose, carrot_pose=req.carrot_pose,
+            goal_pose=req.goal_pose, current_vel=req.current_vel,
+            footprint=self._footprint, costmap=self._costmap,
+            switch_opt=req.switch_opt, control_interval=req.control_interval)
+        out = self._native_solve(self._state, scen, jnp.float32(delta_t))
+        self._state = out.state
+        self.last_result = out
         return np.asarray(out.cmd_vel)
 
     # ---- debug artifacts (A6/B7 parity) ----

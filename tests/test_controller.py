@@ -98,3 +98,55 @@ class TestSpeedLimit:
         assert ctrl.cfg.max_vel_trans == pytest.approx(base * 0.5)
         ctrl.set_speed_limit(100.0, percentage=True)
         assert ctrl.cfg.max_vel_trans == pytest.approx(base)
+
+
+class TestNativeGeometry:
+    """The C++-geometry controller path must produce the same commands as the
+    device-geometry path — the strongest cross-implementation consistency
+    check (Layer A in two languages feeding the same solver)."""
+
+    def test_matches_device_geometry(self, cfg, empty_costmap, footprint):
+        import subprocess
+        from pathlib import Path
+        from neo_mpc_planner2_tpu.native.host import NativeHost
+
+        if not NativeHost.available():
+            subprocess.run([str(Path(__file__).resolve().parent.parent /
+                                "scripts" / "build_native.sh")],
+                           check=True, capture_output=True)
+
+        plan = _line_plan()
+        from neo_mpc_planner2_tpu.utils.se2_np import integrate_cmd_np
+
+        cmds = {}
+        for native in (False, True):
+            c = NeoMpcController()
+            c.configure(cfg, costmap=empty_costmap, footprint=footprint,
+                        native_geometry=native)
+            c.activate()
+            c.set_plan(plan)
+            pose = np.zeros(3)
+            vel = np.zeros(3)
+            seq = []
+            for _ in range(15):
+                cmd = c.compute_velocity_commands(pose, vel, 1 / 30)
+                seq.append(cmd)
+                pose = integrate_cmd_np(pose, cmd, 1 / 30)
+                vel = cmd
+            cmds[native] = np.array(seq)
+        np.testing.assert_allclose(cmds[True], cmds[False], atol=2e-4)
+
+    def test_native_lethal_raises(self, cfg, footprint):
+        from neo_mpc_planner2_tpu.native.host import NativeHost
+
+        if not NativeHost.available():
+            pytest.skip("native lib not built")
+        lethal = mpc.Costmap.create(np.ones((40, 40)), origin=(-1.0, -1.0),
+                                    resolution=0.05)
+        c = NeoMpcController()
+        c.configure(cfg, costmap=lethal, footprint=footprint,
+                    native_geometry=True)
+        c.activate()
+        c.set_plan(_line_plan())
+        with pytest.raises(ControllerException, match="MPC detected collision"):
+            c.compute_velocity_commands([0, 0, 0], [0, 0, 0], 0.033)

@@ -104,6 +104,9 @@ class MpcConfig:
     solver_max_iters: int = 40
     # ADMM iterations for each SQP QP subproblem.
     qp_iters: int = 60
+    # Evaluate all Armijo step candidates in one fused wave instead of a
+    # lockstep sequential loop (identical alpha selection; see sqp.py).
+    parallel_line_search: bool = False
     # Dykstra iterations for the box∩disk projection.
     projection_iters: int = 20
     # Footprint polygon is padded to this many vertices (static shape).

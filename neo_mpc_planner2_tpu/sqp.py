@@ -163,6 +163,7 @@ def sqp_solve(
     max_iters: int | None = None,
     qp_iters: int | None = None,
     max_backtracks: int = 16,
+    parallel_ls: bool = False,
 ) -> SolveResult:
     """Minimize f over box ∩ cone from warm start x0 (SLSQP-equivalent).
 
@@ -200,26 +201,35 @@ def sqp_solve(
         # Directional derivative bound for Armijo.
         dphi = jnp.vdot(s.grad, d) - mu * jnp.sum(jnp.maximum(-c, 0.0))
 
-        # Sequential Armijo backtracking. (A fully-parallel K-candidate line
-        # search was measured on TPU: it speeds up warm solves ~20% but
-        # regresses cold solves ~25% — most iterations accept alpha=1 after a
-        # single merit eval, and kink cases need alphas down to 2^-19 that a
-        # narrow parallel window truncates. See PERF.md.)
-        def ls_cond(carry):
-            alpha, j, ok = carry
-            return (~ok) & (j < max_backtracks)
+        if parallel_ls:
+            # Parallel Armijo: under vmap the sequential backtracking loop
+            # locksteps at the slowest lane (some lane is always at the
+            # control-cost kink, so it runs the FULL budget every iteration —
+            # confirmed by device traces). Evaluating every candidate 2^-j in
+            # one fused wave selects exactly the same alpha as sequential
+            # halving, replacing max_backtracks loop trips with one wide eval.
+            alphas = 0.5 ** jnp.arange(max_backtracks, dtype=s.x.dtype)
+            cands = s.x[None, :] + alphas[:, None] * d[None, :]
+            phis = jax.vmap(lambda xx: merit(xx, mu))(cands)
+            ok_mask = phis <= phi0 + 1e-4 * alphas * dphi + 1e-12
+            ls_ok = jnp.any(ok_mask)
+            alpha = alphas[jnp.argmax(ok_mask)]
+        else:
+            def ls_cond(carry):
+                alpha, j, ok = carry
+                return (~ok) & (j < max_backtracks)
 
-        def ls_body(carry):
-            alpha, j, ok = carry
-            phi = merit(s.x + alpha * d, mu)
-            ok = phi <= phi0 + 1e-4 * alpha * dphi + 1e-12
-            alpha_next = jnp.where(ok, alpha, alpha * 0.5)
-            return (alpha_next, j + 1, ok)
+            def ls_body(carry):
+                alpha, j, ok = carry
+                phi = merit(s.x + alpha * d, mu)
+                ok = phi <= phi0 + 1e-4 * alpha * dphi + 1e-12
+                alpha_next = jnp.where(ok, alpha, alpha * 0.5)
+                return (alpha_next, j + 1, ok)
 
-        alpha, _, ls_ok = jax.lax.while_loop(
-            ls_cond, ls_body, (jnp.asarray(1.0, s.x.dtype), jnp.int32(0),
-                               jnp.asarray(False))
-        )
+            alpha, _, ls_ok = jax.lax.while_loop(
+                ls_cond, ls_body, (jnp.asarray(1.0, s.x.dtype), jnp.int32(0),
+                                   jnp.asarray(False))
+            )
 
         step_vec = jnp.where(ls_ok, alpha * d, jnp.zeros_like(d))
         x_new = s.x + step_vec
@@ -277,7 +287,8 @@ def sqp_solve(
 
 
 def make_sqp_solver(cfg: MpcConfig, objective, ftol: float | None = None,
-                    max_iters: int | None = None, qp_iters: int | None = None):
+                    max_iters: int | None = None, qp_iters: int | None = None,
+                    parallel_ls: bool | None = None):
     """objective: callable from ops.objective.make_objective (full objective,
     control term included — the SQP treats it smoothly, like SLSQP's finite
     differences do a.e.). Returns solve(x0, scenario) -> SolveResult."""
@@ -292,6 +303,8 @@ def make_sqp_solver(cfg: MpcConfig, objective, ftol: float | None = None,
         else:
             fobj = lambda u: objective(u, scen)
         return sqp_solve(fobj, x0, cfg, ftol=ftol, max_iters=max_iters,
-                         qp_iters=qp_iters)
+                         qp_iters=qp_iters,
+                         parallel_ls=(cfg.parallel_line_search
+                                      if parallel_ls is None else parallel_ls))
 
     return solve

@@ -53,7 +53,13 @@ def main() -> None:
 
     cfg = mpc.default_config().replace(
         prediction_horizon=0.8, control_steps=3, opt_tolerance=1e-3,
-        footprint_edge_samples=16, max_plan_points=64, solver_max_iters=40,
+        footprint_edge_samples=16, max_plan_points=64,
+        # Operating point: cap lockstep SQP iterations at 8. Warm lanes
+        # converge in <=4; only cold/tail lanes get cut, and (like the
+        # reference on SLSQP failure, py:397-400) they warm-start from the
+        # raw solution next tick. Closed-loop progress and final goal
+        # distances are identical to max_iters=40 (PERF.md cap sweep).
+        solver_max_iters=8,
         min_vel_x=-0.7, min_vel_y=-0.7, min_vel_theta=-0.7,
         max_vel_x=0.7, max_vel_y=0.7, max_vel_trans=0.7, max_vel_theta=0.7,
         w_trans=0.82, w_orient=0.5, w_control=0.05, w_terminal=0.05,

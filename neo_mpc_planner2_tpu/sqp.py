@@ -258,10 +258,16 @@ def sqp_solve(
 
         # Require two consecutive sub-ftol improvements before declaring
         # convergence — a single tiny step can just be a flat stretch before
-        # the valley curves (observed on adversarial random scenarios).
+        # the valley curves (observed on adversarial random scenarios). A
+        # sub-ftol improvement with a vanishing FULL QP direction is genuine
+        # stationarity though (the model itself proposes no movement), so it
+        # counts double: warm-started lanes at the optimum exit after one
+        # iteration instead of two, which at fleet batch sizes halves the
+        # lockstep depth of steady-state solves.
         improved = jnp.abs(s.f - f_new)
         small = ls_ok & (improved < ftol)
-        small_count = jnp.where(small, s.small_count + 1, 0)
+        stationary = small & (jnp.max(jnp.abs(d)) < 1e-6)
+        small_count = jnp.where(small, s.small_count + 1 + stationary, 0)
         # First line-search failure: reset the BFGS model (a stale/ill-scaled B
         # is the usual culprit) and try once more; second failure terminates —
         # at the nonsmooth kink this is the stationary stop, like SLSQP.

@@ -76,7 +76,13 @@ class OptimizerSession:
             return solve_step(cfg, state, scen, delta_t, solver=solver)
 
         self._step = jax.jit(step)
-        self.state = init_state(cfg)
+        # Dynamic reconfigure keeps mission state when shapes allow — the
+        # reference's cb_params (py:405-439) updates weights in place without
+        # touching initial_guess/last_control/timers. Only a control_steps
+        # change (resizing the warm start) forces a reset.
+        if (self.state is None
+                or self.state.initial_guess.shape[0] != 3 * cfg.control_steps):
+            self.state = init_state(cfg)
 
     # ---- ops ----
     def op_configure(self, msg: dict) -> dict:

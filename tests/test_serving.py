@@ -117,3 +117,27 @@ class TestPipelinedMode:
         s.handle({"op": "reset"})
         r = s.handle(_opt_req())
         assert r.get("pipelined_warmup")
+
+
+def test_reconfigure_preserves_mission_state(cfg):
+    """cb_params parity (py:405-439): runtime weight updates must not reset
+    the warm start / timers; only a control_steps resize may."""
+    s = OptimizerSession(cfg)
+    s.handle({"op": "set_costmap", "data": np.zeros((40, 40)).tolist(),
+              "origin": [-1, -1], "resolution": 0.05})
+    s.handle({"op": "set_footprint",
+              "points": [[0.3, 0.2], [-0.3, 0.2], [-0.3, -0.2], [0.3, -0.2]]})
+    s.handle(_opt_req())
+    guess_before = np.asarray(s.state.initial_guess).copy()
+    assert np.abs(guess_before).sum() > 0
+    import dataclasses
+    params = {f.name: getattr(cfg, f.name)
+              for f in dataclasses.fields(type(cfg)) if f.name != "compat"}
+    params["w_trans"] = 0.3
+    s.handle({"op": "configure", "params": params})
+    np.testing.assert_array_equal(np.asarray(s.state.initial_guess), guess_before)
+    # control_steps resize does reset.
+    params["control_steps"] = 5
+    s.handle({"op": "configure", "params": params})
+    assert s.state.initial_guess.shape[0] == 15
+    assert float(np.abs(np.asarray(s.state.initial_guess)).sum()) == 0.0

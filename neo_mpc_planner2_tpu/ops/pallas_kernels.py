@@ -16,6 +16,14 @@ row) — as one fused kernel. Per grid step (= one scenario):
 Everything between HBM loads and the scalar store stays in VMEM/registers, so
 nothing round-trips through HBM the way the unfused one-hot path's (S, H)/(S, W)
 intermediates do. Requires map dims padded to the (8, 128) float32 tile.
+
+Measured on TPU v5e at (1024, 48, 128), 16 samples: pallas 2.7 ms vs 3.7 ms
+(XLA gather path) and 2.0 ms (XLA one-hot path). Bit-exact against the gather
+path in interpret mode (tests); on real TPU, samples landing exactly on cell
+boundaries may pick the adjacent cell relative to the other paths because
+--xla_allow_excess_precision lets the compiler rewrite the world→cell division
+differently per fusion (the XLA gather and one-hot paths differ from each
+other there too). Kept as an optional path; the default stays XLA one-hot.
 """
 
 from __future__ import annotations
@@ -50,37 +58,42 @@ def _kernel(data_ref, origin_ref, res_ref, verts_ref, nvalid_ref, out_ref,
     ends = jnp.dot(nxt_onehot, verts, preferred_element_type=jnp.float32)
     starts = verts
 
-    t = jax.lax.broadcasted_iota(jnp.float32, (1, samples), 1) / (samples - 1)
+    t = (jax.lax.broadcasted_iota(jnp.int32, (1, samples), 1)
+         .astype(jnp.float32) / (samples - 1))                       # (1, S)
     px = starts[:, 0:1] + (ends[:, 0:1] - starts[:, 0:1]) * t        # (V, S)
     py = starts[:, 1:2] + (ends[:, 1:2] - starts[:, 1:2]) * t        # (V, S)
 
     # World -> integer cells (truncation toward zero like the gather path;
     # coordinates here are positive-offset so floor == trunc).
-    fx = (px - origin_x) * inv_res
-    fy = (py - origin_y) * inv_res
-    mx = fx.astype(jnp.int32).reshape(V * samples)                   # (P,)
-    my = fy.astype(jnp.int32).reshape(V * samples)
-    in_bounds = (mx >= 0) & (mx < width) & (my >= 0) & (my < height)
+    mx = ((px - origin_x) * inv_res).astype(jnp.int32)               # (V, S)
+    my = ((py - origin_y) * inv_res).astype(jnp.int32)
+    # Bool minor-dim inserts are unsupported in Mosaic; keep the mask f32.
+    in_b = ((mx >= 0) & (mx < width) & (my >= 0) & (my < height)
+            ).astype(jnp.float32)                                    # (V, S)
     mxc = jnp.clip(mx, 0, width - 1)
     myc = jnp.clip(my, 0, height - 1)
 
-    # One-hot sampling on the MXU.
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (V * samples, height), 1)
-    rows = (myc[:, None] == row_ids).astype(data.dtype)              # (P, H)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (V * samples, width), 1)
-    cols = (mxc[:, None] == col_ids).astype(data.dtype)              # (P, W)
-    gathered = jnp.dot(rows, data, preferred_element_type=jnp.float32)  # (P, W)
-    vals = jnp.sum(gathered * cols, axis=-1)                         # (P,)
-    vals = jnp.where(in_bounds, vals, LETHAL_COST)
+    # One-hot sampling on the MXU, one edge (row of S samples) at a time —
+    # Mosaic supports only 2-D shapes here, so the (V, S) grid is unrolled
+    # over its (static, tiny) V axis instead of flattened.
+    best = jnp.full((1, samples), -jnp.inf, jnp.float32)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (samples, height), 1)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (samples, width), 1)
+    for v in range(V):
+        rows = (myc[v, :][:, None] == row_ids).astype(data.dtype)    # (S, H)
+        cols = (mxc[v, :][:, None] == col_ids).astype(data.dtype)    # (S, W)
+        gathered = jnp.dot(rows, data, preferred_element_type=jnp.float32)
+        vals = jnp.sum(gathered * cols, axis=-1, keepdims=True)      # (S, 1)
+        m = in_b[v, :][:, None]
+        vals = vals * m + LETHAL_COST * (1.0 - m)
+        # Exclude padded edges (v >= n_valid) from the max.
+        vals = jnp.where(v < n_valid, vals, -jnp.inf)
+        best = jnp.maximum(best, vals.reshape(1, samples))
 
-    # Exclude padded edges (i >= n_valid) from the max.
-    edge_idx = jax.lax.broadcasted_iota(
-        jnp.int32, (V, samples), 0).reshape(V * samples)
-    vals = jnp.where(edge_idx < n_valid, vals, -jnp.inf)
     # Mosaic cannot store scalars to VMEM and SMEM outputs must still obey
     # the (8, 128) tile rule, so the scalar is broadcast into one padded
     # VMEM tile; the host wrapper slices [0, 0] back out.
-    out_ref[0] = jnp.full((8, 128), jnp.max(vals), jnp.float32)
+    out_ref[0] = jnp.full((8, 128), jnp.max(best), jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("samples", "interpret"))

@@ -212,3 +212,22 @@ class TestCholInverse:
         d = np.diag([1e4, 1e3, 1e2, 10, 1, 1, 0.1, 0.01, 1e-3]).astype(np.float32)
         got = np.asarray(_chol_inverse(jnp.asarray(d)))
         np.testing.assert_allclose(np.diag(got), 1.0 / np.diag(d), rtol=1e-4)
+
+
+def test_parallel_line_search_identical(cfg, empty_costmap, footprint):
+    """cfg.parallel_line_search evaluates the same candidate steps in one
+    fused wave — solutions must be bit-identical to sequential backtracking."""
+    tight = cfg.replace(opt_tolerance=1e-8)
+    scen = mpc.Scenario.create([0, 0, 0], [0.4, 0.1, 0.2], [1.0, 0.5, 0.3],
+                               [0.3, 0.1, 0.05], footprint, empty_costmap)
+    rng = np.random.default_rng(4)
+    for _ in range(5):
+        x0 = jnp.asarray(rng.uniform(-0.5, 0.5, 9), jnp.float32)
+        seq = mpc.make_sqp_solver(tight, mpc.make_objective(tight),
+                                  ftol=1e-8, max_iters=200,
+                                  parallel_ls=False)(x0, scen)
+        par = mpc.make_sqp_solver(tight, mpc.make_objective(tight),
+                                  ftol=1e-8, max_iters=200,
+                                  parallel_ls=True)(x0, scen)
+        np.testing.assert_array_equal(np.asarray(seq.x), np.asarray(par.x))
+        assert int(seq.iters) == int(par.iters)

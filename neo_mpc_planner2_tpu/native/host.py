@@ -12,7 +12,6 @@ from __future__ import annotations
 import ctypes
 import os
 
-
 import numpy as np
 
 __all__ = ["NativeHost", "HostRequest", "NMP_OK", "NMP_ERR_EMPTY_PLAN",

@@ -176,7 +176,6 @@ def prox_fista(
     """
     ftol = cfg.opt_tolerance if ftol is None else ftol
     max_iters = cfg.solver_max_iters if max_iters is None else max_iters
-    n = cfg.control_steps
     proj = partial(project_feasible, cfg=cfg)
     val_grad = jax.value_and_grad(f_smooth)
     eta = 2.0

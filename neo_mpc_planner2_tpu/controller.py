@@ -201,6 +201,8 @@ class NeoMpcController:
         )
         self._state = out.state
         self.last_result = out
+        if bool(out.plan_empty):
+            raise ControllerException("Resulting plan has 0 poses in it.")  # cpp:131
         if bool(out.lethal):
             raise ControllerException("MPC detected collision!")  # cpp:235
         return np.asarray(out.cmd_vel)

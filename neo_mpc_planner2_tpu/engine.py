@@ -68,9 +68,12 @@ class StepResult(NamedTuple):
     collision: jnp.ndarray        # predicted-collision latch after this tick
     collision_footprint: jnp.ndarray
     lethal: jnp.ndarray           # plugin-side hard stop (cpp:234-236)
+    plan_empty: jnp.ndarray       # transformed-plan window empty (cpp:130-132)
     carrot_pose: jnp.ndarray
     closer_to_goal: jnp.ndarray
-    local_plan: jnp.ndarray       # (N, 3) predicted odom trajectory (py:271-310 analogue)
+    local_plan: jnp.ndarray       # (N+1, 3) current pose + RAW-solution rollout
+                                  # (publishLocalPlan, py:284-305 — published at
+                                  # py:365 BEFORE the low-pass at py:366-367)
 
 
 def _shift_warm_start(x: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -111,6 +114,14 @@ def solve_step(
 
         solver = make_sqp_solver(cfg, make_objective(cfg, parity=parity))
     res = solver(guess, scen)
+
+    # --- local-plan visualization (py:365 → publishLocalPlan py:271-310):
+    # the RAW solution re-integrated from the current pose (correct TF yaw),
+    # with the current pose itself as the leading element (py:284-291). The
+    # publish happens BEFORE the low-pass, so this uses res.x, not x.
+    viz_traj = rollout(res.x.reshape(n, 3), jnp.asarray(cfg.dt, res.x.dtype),
+                       scen.current_pose)
+    local_plan = jnp.concatenate([scen.current_pose[None], viz_traj], axis=0)
 
     # --- low-pass the first control only (py:366-367) ---
     g = jnp.asarray(cfg.low_pass_gain, res.x.dtype)
@@ -169,9 +180,10 @@ def solve_step(
         collision=collision,
         collision_footprint=collision_footprint,
         lethal=jnp.asarray(False),
+        plan_empty=jnp.asarray(False),
         carrot_pose=scen.carrot_pose,
         closer_to_goal=scen.switch_opt,
-        local_plan=odom_traj,
+        local_plan=local_plan,
     )
 
 
@@ -206,13 +218,25 @@ def controller_step(
         costmap=costmap,
         switch_opt=pr.closer_to_goal,
     )
-    state = state.replace(slow_down=pr.slow_down, plan_start=pr.new_start)
+    # The reference throws BEFORE the optimizer service call on both plugin
+    # gates — empty transformed plan (cpp:130-132, after the cpp:127 prefix
+    # erase but before the hysteresis update) and the lethal footprint
+    # (cpp:234-236, after the hysteresis update) — so the server state
+    # (initial_guess, last_control, waiting_time, old_goal) is untouched on
+    # those ticks. Mirror that: run the solve unconditionally (fused graph),
+    # then discard its state writes when a gate fired.
+    slow_down_new = jnp.where(pr.plan_empty, state.slow_down, pr.slow_down)
+    state = state.replace(slow_down=slow_down_new, plan_start=pr.new_start)
     out = solve_step(cfg, state, scen, delta_t, parity=parity, solver=solver)
-    # Plugin-side hard stop (cpp:234-236): zero the command, surface the flag.
-    cmd = jnp.where(pr.lethal, jnp.zeros_like(out.cmd_vel), out.cmd_vel)
+    skip = pr.lethal | pr.plan_empty
+    kept_state = jax.tree.map(lambda pre, post: jnp.where(skip, pre, post),
+                              state, out.state)
+    cmd = jnp.where(skip, jnp.zeros_like(out.cmd_vel), out.cmd_vel)
     return out._replace(
         cmd_vel=cmd,
+        state=kept_state,
         lethal=pr.lethal,
+        plan_empty=pr.plan_empty,
         carrot_pose=pr.carrot_pose,
         closer_to_goal=pr.closer_to_goal,
     )

@@ -155,7 +155,7 @@ class OptimizerSession:
                         "iterations": 0, "cost": 0.0, "collision": False,
                         "collision_footprint": False, "pipelined_warmup": True,
                         "local_plan": np.zeros(
-                            (self.cfg.control_steps, 3)).tolist()}
+                            (self.cfg.control_steps + 1, 3)).tolist()}
             out = prev
 
         return {

@@ -69,7 +69,7 @@ class TestTick:
         ctrl.compute_velocity_commands([0, 0, 0], [0.1, 0, 0], 0.033)
         msgs = ctrl.debug_msgs()
         assert msgs["lookahead_point"]["point"]["z"] == 0.01
-        assert len(msgs["local_plan"]["poses"]) == ctrl.cfg.control_steps
+        assert len(msgs["local_plan"]["poses"]) == ctrl.cfg.control_steps + 1
 
 
 class TestSpeedLimit:

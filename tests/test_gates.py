@@ -1,0 +1,132 @@
+"""Plugin-gate fidelity: empty-window and lethal ticks must leave the
+optimization-server state untouched, exactly like the reference, which throws
+BEFORE the service call (NeoMpcPlanner.cpp:130-132 after the cpp:127 prefix
+erase; cpp:234-236 after the hysteresis update) so the server never sees the
+tick. Also covers the local-plan visualization parity: the published path is
+the RAW solution with a leading current pose (mpc_optimization_server.py:284-305,
+published at :365 BEFORE the low-pass at :366-367)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import neo_mpc_planner2_tpu as mpc
+from neo_mpc_planner2_tpu.controller import ControllerException, NeoMpcController
+from neo_mpc_planner2_tpu.engine import controller_step, solve_step
+from neo_mpc_planner2_tpu.oracle import _rollout_np
+
+
+def _line_plan(n=50, length=2.0):
+    return np.stack([np.linspace(0, length, n), np.zeros(n), np.zeros(n)], 1)
+
+
+@pytest.fixture()
+def ctrl(cfg, empty_costmap, footprint):
+    c = NeoMpcController()
+    c.configure(cfg, costmap=empty_costmap, footprint=footprint)
+    c.activate()
+    return c
+
+
+class TestPlanEmptyGate:
+    def test_device_path_raises(self, ctrl):
+        """Robot beyond half the costmap extent from every plan pose ⇒ empty
+        transformed window ⇒ cpp:130-132's exception, now on the fused device
+        path too (it was native-only in round 1)."""
+        ctrl.set_plan(_line_plan())
+        with pytest.raises(ControllerException,
+                           match="Resulting plan has 0 poses in it."):
+            ctrl.compute_velocity_commands([10.0, 10.0, 0.0], [0, 0, 0], 0.033)
+
+    def test_server_state_untouched(self, cfg, empty_costmap, footprint):
+        """The gate fires before the service call: warm start, last_control and
+        timers must be exactly the pre-tick values afterwards."""
+        c = NeoMpcController()
+        c.configure(cfg, costmap=empty_costmap, footprint=footprint)
+        c.activate()
+        c.set_plan(_line_plan())
+        # One normal tick to build nonzero server state.
+        c.compute_velocity_commands([0, 0, 0], [0.1, 0, 0], 0.033)
+        before = c._state
+        with pytest.raises(ControllerException, match="0 poses"):
+            c.compute_velocity_commands([10.0, 10.0, 0.0], [0, 0, 0], 0.033)
+        after = c._state
+        np.testing.assert_array_equal(np.asarray(before.initial_guess),
+                                      np.asarray(after.initial_guess))
+        np.testing.assert_array_equal(np.asarray(before.last_control),
+                                      np.asarray(after.last_control))
+        assert float(before.waiting_time) == float(after.waiting_time)
+        # slow_down is untouched too (the throw precedes the hysteresis).
+        assert bool(before.slow_down) == bool(after.slow_down)
+
+    def test_batched_flag_no_exception(self, cfg, empty_costmap, footprint):
+        """Fleet path: the flag is surfaced per lane, command zeroed, no raise."""
+        plan = mpc.Plan.create(_line_plan(), max_points=cfg.max_plan_points)
+        state = mpc.init_state(cfg)
+        step = jax.jit(lambda pose: controller_step(
+            cfg, state, plan, pose, jnp.zeros(3, jnp.float32), empty_costmap,
+            footprint, jnp.float32(0.033)))
+        far = step(jnp.asarray([10.0, 10.0, 0.0], jnp.float32))
+        assert bool(far.plan_empty)
+        np.testing.assert_array_equal(np.asarray(far.cmd_vel), np.zeros(3))
+        near = step(jnp.asarray([0.0, 0.0, 0.0], jnp.float32))
+        assert not bool(near.plan_empty)
+
+
+class TestLethalStatePreservation:
+    def test_server_state_untouched_on_lethal(self, cfg, empty_costmap, footprint):
+        """ADVICE round-1 (medium): on the lethal gate the reference throws
+        before the service call, so the next tick's acceleration clamp must
+        ramp from the last actually-commanded velocity, not from a solver
+        command that was never executed."""
+        c = NeoMpcController()
+        c.configure(cfg, costmap=empty_costmap, footprint=footprint)
+        c.activate()
+        c.set_plan(_line_plan())
+        c.compute_velocity_commands([0, 0, 0], [0.1, 0, 0], 0.033)
+        before = c._state
+        lethal = mpc.Costmap.create(np.ones((40, 40)), origin=(-1.0, -1.0),
+                                    resolution=0.05)
+        c.set_costmap(lethal)
+        with pytest.raises(ControllerException, match="MPC detected collision"):
+            c.compute_velocity_commands([0, 0, 0], [0.1, 0, 0], 0.033)
+        after = c._state
+        np.testing.assert_array_equal(np.asarray(before.initial_guess),
+                                      np.asarray(after.initial_guess))
+        np.testing.assert_array_equal(np.asarray(before.last_control),
+                                      np.asarray(after.last_control))
+        assert float(before.waiting_time) == float(after.waiting_time)
+        # Recovery: clearing the obstacle resumes from the preserved state and
+        # the accel clamp bounds the jump from the last real command.
+        c.set_costmap(empty_costmap)
+        cmd = c.compute_velocity_commands([0, 0, 0], [0.1, 0, 0], 0.033)
+        # The clamp interval is the request's control_interval (py:355), which
+        # the fused path takes from cfg (cpp:246 = 1/controller_frequency).
+        lim = np.asarray(before.last_control) + np.array(
+            [cfg.acc_x_limit, cfg.acc_y_limit,
+             cfg.acc_theta_limit]) * cfg.control_interval
+        assert np.all(cmd <= lim + 1e-5)
+
+
+class TestLocalPlanParity:
+    def test_raw_solution_with_leading_pose(self, cfg, empty_costmap, footprint):
+        """local_plan = [current_pose] + yaw-first rollout of the RAW solver
+        output from the current pose (correct TF yaw) — not the low-passed
+        command (publishLocalPlan is called before the low-pass, py:365)."""
+        pose = jnp.asarray([0.3, -0.1, 0.2], jnp.float32)
+        scen = mpc.Scenario.create(
+            pose, [0.5, 0.0, 0.0], [2.0, 0.0, 0.0], [0.2, 0.0, 0.0],
+            footprint, empty_costmap, control_interval=1 / 30)
+        out = jax.jit(lambda st, sc: solve_step(
+            cfg, st, sc, jnp.float32(1 / 30)))(mpc.init_state(cfg), scen)
+        lp = np.asarray(out.local_plan)
+        assert lp.shape == (cfg.control_steps + 1, 3)
+        np.testing.assert_allclose(lp[0], np.asarray(pose), atol=1e-6)
+        expect = _rollout_np(np.asarray(out.raw_solution).reshape(-1, 3),
+                             cfg.dt, np.asarray(pose, float))
+        np.testing.assert_allclose(lp[1:], expect, atol=1e-5)
+        # The raw first control differs from the low-passed command, so the
+        # distinction is actually exercised.
+        assert not np.allclose(np.asarray(out.raw_solution[:3]),
+                               np.asarray(out.cmd_vel))

@@ -47,7 +47,7 @@ def test_engine_tick_other_steps(cfg, empty_costmap, footprint, steps):
     out = eng.step(state, plan, jnp.zeros(3, jnp.float32),
                    jnp.asarray([0.3, 0, 0], jnp.float32), empty_costmap,
                    footprint, 0.033)
-    assert out.local_plan.shape == (steps, 3)
+    assert out.local_plan.shape == (steps + 1, 3)
     assert np.all(np.isfinite(np.asarray(out.cmd_vel)))
     assert float(out.cmd_vel[0]) > 0.0
 

@@ -42,7 +42,7 @@ class TestSession:
         r = session.handle(_opt_req())
         assert "output_vel" in r and len(r["output_vel"]) == 3
         assert r["success"] in (True, False)
-        assert len(r["local_plan"]) == session.cfg.control_steps
+        assert len(r["local_plan"]) == session.cfg.control_steps + 1
         # Acceleration clamp from zero last_control.
         lim = session.cfg.acc_x_limit * 0.033
         assert abs(r["output_vel"][0]) <= lim + 1e-5

@@ -149,12 +149,18 @@ def default_config() -> MpcConfig:
     return MpcConfig()
 
 
-def config_from_ros_params(params: Mapping[str, Any]) -> MpcConfig:
+def config_from_ros_params(params: Mapping[str, Any],
+                           base: "MpcConfig | None" = None) -> MpcConfig:
     """Build a config from a flat dict using the reference's ROS parameter names.
 
     Accepts both the server params (mpc_optimization_server.py:49-75) and the
     plugin params (NeoMpcPlanner.cpp:311-323). Unknown keys are ignored so a
     full navigation.yaml section can be passed straight through.
+
+    With `base`, only the named parameters are replaced and everything else is
+    kept — the reference's cb_params semantics (py:405-439 updates only the
+    parameters in the message); without it, unnamed parameters get defaults
+    (initial declare_parameter semantics, py:49-75).
     """
     field_types = {f.name: f.type for f in dataclasses.fields(MpcConfig)}
     kw = {}
@@ -170,4 +176,6 @@ def config_from_ros_params(params: Mapping[str, Any]) -> MpcConfig:
             elif isinstance(value, str) and "int" in t:
                 value = int(float(value))
             kw[name] = value
+    if base is not None:
+        return dataclasses.replace(base, **kw)
     return MpcConfig(**kw)

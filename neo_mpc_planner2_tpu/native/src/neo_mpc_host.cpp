@@ -93,9 +93,15 @@ double cell_cost(const nmp_costmap& cm, long mx, long my) {
   return static_cast<double>(cm.data[my * cm.width + mx]);
 }
 
+// Floor (not truncation): nav2 worldToMap's wx < origin_x guard makes the
+// below-origin band out of bounds; floor to -1 reproduces that exactly.
+long world_to_cell(double w, double origin, double resolution) {
+  return static_cast<long>(std::floor((w - origin) / resolution));
+}
+
 double world_cost(const nmp_costmap& cm, double wx, double wy) {
-  const long mx = static_cast<long>((wx - cm.origin_x) / cm.resolution);
-  const long my = static_cast<long>((wy - cm.origin_y) / cm.resolution);
+  const long mx = world_to_cell(wx, cm.origin_x, cm.resolution);
+  const long my = world_to_cell(wy, cm.origin_y, cm.resolution);
   return cell_cost(cm, mx, my);
 }
 
@@ -104,10 +110,10 @@ double world_cost(const nmp_costmap& cm, double wx, double wy) {
 // segment crosses using an Amanatides-Woo style walk.
 double line_cost(const nmp_costmap& cm, double x0, double y0, double x1,
                  double y1) {
-  long mx = static_cast<long>((x0 - cm.origin_x) / cm.resolution);
-  long my = static_cast<long>((y0 - cm.origin_y) / cm.resolution);
-  const long ex = static_cast<long>((x1 - cm.origin_x) / cm.resolution);
-  const long ey = static_cast<long>((y1 - cm.origin_y) / cm.resolution);
+  long mx = world_to_cell(x0, cm.origin_x, cm.resolution);
+  long my = world_to_cell(y0, cm.origin_y, cm.resolution);
+  const long ex = world_to_cell(x1, cm.origin_x, cm.resolution);
+  const long ey = world_to_cell(y1, cm.origin_y, cm.resolution);
 
   const double dx = x1 - x0, dy = y1 - y0;
   const int step_x = dx > 0 ? 1 : -1;

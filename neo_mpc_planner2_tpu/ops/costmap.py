@@ -13,8 +13,9 @@ Python loop.
 Conventions chosen for this framework (the external reference lib is not in the
 repo; the oracle in `oracle.py` uses the *same* conventions so parity is exact):
 
-- `world_to_map` truncates toward zero after subtracting the origin
-  (nav2 Costmap2D::worldToMap semantics: mx = (int)((wx - origin_x) / res)).
+- `world_to_map` floors after subtracting the origin (nav2
+  Costmap2D::worldToMap: mx = (int)((wx - origin_x) / res) behind a
+  wx >= origin_x guard — floor + out-of-bounds-below-origin reproduces both).
 - Out-of-bounds queries return lethal cost 1.0 (nav2 returns NO_INFORMATION=255
   for unknown space; normalized that is 1.0).
 """
@@ -52,14 +53,27 @@ class Costmap:
         )
 
     @staticmethod
-    def from_nav2_costmap(raw, origin=(0.0, 0.0), resolution=0.05) -> "Costmap":
+    def from_nav2_costmap(raw, origin=(0.0, 0.0), resolution=0.05,
+                          inscribed_is_lethal: bool = False) -> "Costmap":
         """From the raw nav2 Costmap2D 0-255 scale (the C++ plugin's world,
-        NeoMpcPlanner.cpp:218/234): 255 (lethal) and 254 (inscribed) map to
-        1.0; other values scale linearly by 1/255 — matching how the Python
-        server's normalized costmap relates to the raw one (getCost==1.0 is
-        the lethal test at py:257)."""
+        NeoMpcPlanner.cpp:218/234).
+
+        Every raw value scales by 1/255, so only raw 255 (LETHAL_OBSTACLE /
+        NO_INFORMATION) lands exactly on 1.0. This preserves the reference's
+        raw-scale gate semantics: the plugin throws only at footprint cost
+        == 255 (cpp:234) and slow-downs at > 200 (cpp:225/228); raw 254
+        (INSCRIBED_INFLATED) maps to 254/255 ≈ 0.996, which still trips the
+        predicted-collision check (>= 0.99, py:338) but NOT the exact-equality
+        lethal branches (py:257, :262; the 1.0 gates here).
+
+        inscribed_is_lethal=True folds 254 into 1.0 as well — the conservative
+        divergence round 1 shipped by default (a robot whose center must never
+        enter the inscribed band); off by default for reference parity.
+        """
         raw = jnp.asarray(raw)
-        norm = jnp.where(raw >= 254, 1.0, raw.astype(jnp.float32) / 255.0)
+        norm = raw.astype(jnp.float32) / 255.0
+        if inscribed_is_lethal:
+            norm = jnp.where(raw >= 254, 1.0, norm)
         return Costmap.create(norm, origin, resolution)
 
     @staticmethod
@@ -88,14 +102,20 @@ class Costmap:
 
 
 def world_to_map(cm: Costmap, wx: jnp.ndarray, wy: jnp.ndarray):
-    """World → integer cell indices, truncating toward zero.
+    """World → integer cell indices, flooring.
 
-    Mirrors Costmap2d.getWorldToMap (used at mpc_optimization_server.py:246).
+    Mirrors nav2 Costmap2D::worldToMap (used via Costmap2d.getWorldToMap at
+    mpc_optimization_server.py:246): coordinates below the origin fail the
+    wx < origin_x guard there, i.e. are out of bounds. Floor reproduces that —
+    the band (origin − resolution, origin) maps to index −1 (OOB → lethal),
+    where truncation toward zero would alias it onto cell 0 (an ADVICE round-1
+    finding). At/above the origin floor and truncation agree.
+
     Returns raw (possibly out-of-range) indices; bounds handling happens in
     cost_at_cell so the out-of-bounds policy lives in one place.
     """
-    mx = jnp.int32((wx - cm.origin[..., 0]) / cm.resolution)
-    my = jnp.int32((wy - cm.origin[..., 1]) / cm.resolution)
+    mx = jnp.int32(jnp.floor((wx - cm.origin[..., 0]) / cm.resolution))
+    my = jnp.int32(jnp.floor((wy - cm.origin[..., 1]) / cm.resolution))
     return mx, my
 
 

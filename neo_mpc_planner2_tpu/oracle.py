@@ -32,9 +32,10 @@ class NpCostmap:
     resolution: float
 
     def world_to_map(self, wx, wy):
-        # Truncation toward zero, as nav2 Costmap2D::worldToMap.
-        mx = int((wx - self.origin[0]) / self.resolution)
-        my = int((wy - self.origin[1]) / self.resolution)
+        # Floor, as nav2 Costmap2D::worldToMap (its wx < origin_x guard makes
+        # the below-origin band out of bounds; floor to -1 reproduces that).
+        mx = int(np.floor((wx - self.origin[0]) / self.resolution))
+        my = int(np.floor((wy - self.origin[1]) / self.resolution))
         return mx, my
 
     def get_cost(self, mx, my):

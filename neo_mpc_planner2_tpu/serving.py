@@ -86,7 +86,10 @@ class OptimizerSession:
 
     # ---- ops ----
     def op_configure(self, msg: dict) -> dict:
-        self.cfg = config_from_ros_params(msg.get("params", {}))
+        # Merge over the current config: a partial reconfigure updates only
+        # the named parameters (cb_params semantics, py:405-439) instead of
+        # silently resetting the rest to defaults (ADVICE round-1).
+        self.cfg = config_from_ros_params(msg.get("params", {}), base=self.cfg)
         if "pipelined" in msg:
             self.pipelined = bool(msg["pipelined"])
         self._rebuild()

@@ -91,9 +91,18 @@ class TestRawScaleCostmaps:
         raw[0, 2] = 200   # the slow-down gate value
         cm = mpc.Costmap.from_nav2_costmap(raw, origin=(0, 0), resolution=0.1)
         d = np.asarray(cm.data)
+        # Only raw 255 is exactly lethal (the cpp:234 == 255 test); 254 stays
+        # below the exact-equality gates but above the 0.99 collision check.
         assert d[0, 0] == 1.0
-        assert d[0, 1] == 1.0
+        assert d[0, 1] == pytest.approx(254 / 255)
+        assert d[0, 1] < 1.0
+        assert d[0, 1] >= 0.99
         assert d[0, 2] == pytest.approx(200 / 255)
+
+    def test_nav2_inscribed_lethal_flag(self):
+        raw = np.full((4, 4), 254, np.uint8)
+        cm = mpc.Costmap.from_nav2_costmap(raw, inscribed_is_lethal=True)
+        assert np.all(np.asarray(cm.data) == 1.0)
 
     def test_occupancy_grid(self):
         g = np.zeros((5, 5), np.int8)

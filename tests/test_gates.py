@@ -109,6 +109,35 @@ class TestLethalStatePreservation:
         assert np.all(cmd <= lim + 1e-5)
 
 
+class TestRawScale254:
+    """VERDICT round-1 missing #4: raw 254 (inscribed) cells must slow the
+    robot down / latch the predicted-collision stop but NOT fire the plugin's
+    lethal throw, which the reference reserves for raw 255 (cpp:234)."""
+
+    def _ctrl(self, cfg, raw_value, footprint):
+        raw = np.full((40, 40), raw_value, np.uint8)
+        cm = mpc.Costmap.from_nav2_costmap(raw, origin=(-1.0, -1.0),
+                                           resolution=0.05)
+        c = NeoMpcController()
+        c.configure(cfg, costmap=cm, footprint=footprint)
+        c.activate()
+        c.set_plan(_line_plan())
+        return c
+
+    def test_254_stops_without_throw(self, cfg, footprint):
+        c = self._ctrl(cfg, 254, footprint)
+        cmd = c.compute_velocity_commands([0, 0, 0], [0.1, 0, 0], 0.033)
+        out = c.last_result
+        assert not bool(out.lethal)
+        assert bool(out.collision)  # 254/255 >= 0.99 predicted-collision gate
+        np.testing.assert_array_equal(cmd, np.zeros(3))
+
+    def test_255_throws(self, cfg, footprint):
+        c = self._ctrl(cfg, 255, footprint)
+        with pytest.raises(ControllerException, match="MPC detected collision"):
+            c.compute_velocity_commands([0, 0, 0], [0.1, 0, 0], 0.033)
+
+
 class TestLocalPlanParity:
     def test_raw_solution_with_leading_pose(self, cfg, empty_costmap, footprint):
         """local_plan = [current_pose] + yaw-first rollout of the RAW solver

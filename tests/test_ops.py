@@ -83,6 +83,22 @@ class TestCostmap:
         assert float(mpc.cost_at_world(cm, jnp.float32(-0.5), jnp.float32(0.5))) == 1.0
         assert float(mpc.cost_at_world(cm, jnp.float32(5.0), jnp.float32(0.5))) == 1.0
 
+    def test_below_origin_band_is_lethal(self):
+        """nav2 worldToMap returns false for wx < origin_x; flooring makes the
+        one-cell band just below the origin OOB (lethal) instead of aliasing
+        onto cell 0 (an ADVICE round-1 finding — truncation toward zero)."""
+        cm = mpc.Costmap.create(np.zeros((10, 10)), origin=(0.0, 0.0), resolution=0.1)
+        npcm = NpCostmap(np.zeros((10, 10)), np.zeros(2), 0.1)
+        for x, y, want in [(-0.05, 0.5, 1.0), (0.5, -0.001, 1.0),
+                           (0.0, 0.5, 0.0), (0.05, 0.05, 0.0)]:
+            assert float(mpc.cost_at_world(cm, jnp.float32(x), jnp.float32(y))) == want
+            assert npcm.get_cost_world(x, y) == want
+        # One-hot sampling path agrees.
+        from neo_mpc_planner2_tpu.ops.costmap import cost_at_world_onehot
+        v = cost_at_world_onehot(cm, jnp.asarray([-0.05, 0.05]),
+                                 jnp.asarray([0.5, 0.05]))
+        np.testing.assert_allclose(np.asarray(v), [1.0, 0.0])
+
     def test_bilinear_interpolates(self):
         data = np.zeros((4, 4))
         data[1, 1] = 1.0

@@ -141,3 +141,14 @@ def test_reconfigure_preserves_mission_state(cfg):
     s.handle({"op": "configure", "params": params})
     assert s.state.initial_guess.shape[0] == 15
     assert float(np.abs(np.asarray(s.state.initial_guess)).sum()) == 0.0
+
+
+def test_partial_reconfigure_merges(cfg):
+    """A reconfigure naming only some parameters must keep the rest at their
+    current values (cb_params updates only the named ones, py:405-439), not
+    silently reset them to defaults (ADVICE round-1)."""
+    s = OptimizerSession(cfg.replace(w_trans=0.9, max_vel_x=0.6))
+    s.handle({"op": "configure", "params": {"max_vel_x": 0.3}})
+    assert s.cfg.max_vel_x == 0.3
+    assert s.cfg.w_trans == 0.9          # untouched by the partial update
+    assert s.cfg.control_steps == cfg.control_steps

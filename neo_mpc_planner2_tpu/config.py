@@ -119,6 +119,14 @@ class MpcConfig:
     # gather) or "onehot" (one-hot MXU contractions — faster at large batch on
     # TPU, where vector gathers are scalar-emulated).
     costmap_sampling: str = "gather"
+    # Cell-exact footprint boundary traversal (Amanatides-Woo grid walk, the
+    # device twin of the native host / nav2 LineIterator): no cell along an
+    # edge can be skipped regardless of edge length, at the cost of a
+    # sequential H+W-step scan per footprint evaluation. Off => uniform edge
+    # sampling with `footprint_edge_samples` points (validate the count with
+    # ops.footprint.required_edge_samples; the controller/serving front-ends
+    # do this automatically).
+    footprint_exact: bool = False
     # Compatibility quirks toggle.
     compat: CompatConfig = dataclasses.field(default_factory=CompatConfig)
 
@@ -132,6 +140,11 @@ class MpcConfig:
     def control_interval(self) -> float:
         """Service-request control interval (cpp:246)."""
         return 1.0 / self.controller_frequency
+
+    @property
+    def footprint_mode(self) -> str:
+        """Sampling mode string for ops.footprint.footprint_cost."""
+        return "exact" if self.footprint_exact else self.costmap_sampling
 
     def replace(self, **kw: Any) -> "MpcConfig":
         return dataclasses.replace(self, **kw)

@@ -75,10 +75,24 @@ class NeoMpcController:
             self.cfg = config_from_ros_params(params)
         else:
             self.cfg = default_config()
-        self._engine = MpcEngine(self.cfg, parity=parity)
+        if costmap is not None:
+            self._costmap = costmap
+        if footprint is not None:
+            self._footprint = footprint
+        self._parity = parity
+        self._native_geometry = native_geometry
+        self._ensure_footprint_sampling()
+        self._build_engine()
         self._state = self._engine.init_state()
+        # Speed limits scale from the configured maxima (cpp setSpeedLimit
+        # doc: "percentage from maximum robot speed"), not compounding.
+        self._base_cfg = self.cfg
+
+    def _build_engine(self) -> None:
+        parity = self._parity
+        self._engine = MpcEngine(self.cfg, parity=parity)
         self._native = None
-        if native_geometry:
+        if self._native_geometry:
             from .native.host import NativeHost
 
             self._native = NativeHost(
@@ -99,13 +113,31 @@ class NeoMpcController:
                 return solve_step(cfg, state, scen, dt, solver=solver)
 
             self._native_solve = jax.jit(_solve)
-        if costmap is not None:
-            self._costmap = costmap
-        if footprint is not None:
-            self._footprint = footprint
-        # Speed limits scale from the configured maxima (cpp setSpeedLimit
-        # doc: "percentage from maximum robot speed"), not compounding.
-        self._base_cfg = self.cfg
+
+    def _ensure_footprint_sampling(self) -> None:
+        """Guarantee the uniform edge sampling cannot skip costmap cells: bump
+        footprint_edge_samples to ceil(max_edge/resolution)+2 when the
+        configured count would space samples wider than a cell (ADVICE
+        round-1). Exact-traversal mode needs no count at all."""
+        if (self.cfg is None or self.cfg.footprint_exact
+                or self._costmap is None or self._footprint is None):
+            return
+        from .ops.footprint import required_edge_samples
+
+        nv = int(self._footprint.n_valid)
+        need = required_edge_samples(
+            np.asarray(self._footprint.vertices)[:nv],
+            float(self._costmap.resolution))
+        if need > self.cfg.footprint_edge_samples:
+            import warnings
+
+            warnings.warn(
+                f"footprint_edge_samples={self.cfg.footprint_edge_samples} "
+                f"spaces samples wider than the {float(self._costmap.resolution)} m "
+                f"map resolution for this footprint; raising to {need}")
+            self.cfg = self.cfg.replace(footprint_edge_samples=need)
+            if self._engine is not None:
+                self._build_engine()
 
     def activate(self) -> None:
         if self.cfg is None:
@@ -123,9 +155,11 @@ class NeoMpcController:
     # ---- inputs ----
     def set_costmap(self, costmap: Costmap) -> None:
         self._costmap = costmap
+        self._ensure_footprint_sampling()
 
     def set_footprint(self, footprint: Footprint) -> None:
         self._footprint = footprint
+        self._ensure_footprint_sampling()
 
     def set_plan(self, plan) -> None:
         """setPlan (cpp:274-281): stores the plan; goal-change handling (the
@@ -171,8 +205,7 @@ class NeoMpcController:
             max_vel_x=base.max_vel_x * scale, min_vel_x=base.min_vel_x * scale,
             max_vel_y=base.max_vel_y * scale, min_vel_y=base.min_vel_y * scale,
         )
-        parity = self._engine.parity
-        self._engine = MpcEngine(self.cfg, parity=parity)
+        self._build_engine()
 
     # ---- the tick (cpp:202-254) ----
     def compute_velocity_commands(self, pose, velocity,

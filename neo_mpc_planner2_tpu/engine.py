@@ -137,7 +137,7 @@ def solve_step(
 
     fp_world = transform_footprint(scen.current_pose, scen.footprint)
     fp_cost = footprint_cost(scen.costmap, fp_world, cfg.footprint_edge_samples,
-                             cfg.costmap_sampling)
+                             cfg.footprint_mode)
     collision_footprint = fp_cost == 1.0
 
     # --- stuck-wait vs acceleration clamp (py:374-391) ---

@@ -23,12 +23,14 @@ footprints of different robots batch together.
 from __future__ import annotations
 
 import flax.struct
+import jax
 import jax.numpy as jnp
 
-from .costmap import Costmap, cost_at_world, cost_at_world_onehot
+from .costmap import Costmap, cost_at_cell, cost_at_world, cost_at_world_onehot
 from .se2 import se2_apply
 
-__all__ = ["Footprint", "transform_footprint", "footprint_cost", "footprint_cost_at_pose"]
+__all__ = ["Footprint", "transform_footprint", "footprint_cost",
+           "footprint_cost_at_pose", "line_cost_exact", "required_edge_samples"]
 
 
 @flax.struct.dataclass
@@ -69,6 +71,99 @@ def transform_footprint(pose: jnp.ndarray, fp: Footprint) -> Footprint:
     return fp.replace(vertices=se2_apply(pose, fp.vertices))
 
 
+def required_edge_samples(points, resolution: float, minimum: int = 8) -> int:
+    """Samples-per-edge needed so the uniform sampling spacing stays at or
+    below the map resolution for every edge of the (concrete, host-side)
+    polygon — the safe static count for `footprint_cost` in "gather"/"onehot"
+    mode (an ADVICE round-1 finding: a fixed count under-samples long edges,
+    skipping cells the reference's LineIterator would visit)."""
+    import numpy as np
+
+    pts = np.asarray(points, float)
+    edges = np.roll(pts, -1, axis=0) - pts
+    max_edge = float(np.max(np.linalg.norm(edges, axis=-1)))
+    return max(minimum, int(np.ceil(max_edge / float(resolution))) + 2)
+
+
+def line_cost_exact(cm: Costmap, x0, y0, x1, y1) -> jnp.ndarray:
+    """Max cell cost along a segment via an exact Amanatides-Woo grid walk —
+    the device twin of the native host's `line_cost`
+    (native/src/neo_mpc_host.cpp:105-150), itself the nav2
+    FootprintCollisionChecker::lineCost pattern.
+
+    Every cell the segment crosses is visited (a superset of Bresenham's
+    cells), so no lethal cell can be skipped regardless of edge length — the
+    cell-exact alternative to uniform edge sampling. All endpoints may be
+    batched: x0/y0/x1/y1 broadcast together to any shape.
+
+    Static trip count: an in-bounds traversal crosses at most (W-1)+(H-1)
+    boundaries, so the `lax.scan` runs H+W steps. A segment whose endpoint
+    cell lies outside the map would need more steps, but it necessarily
+    crosses out-of-bounds (lethal 1.0) territory — handled by folding 1.0
+    into the max whenever either endpoint cell is out of bounds (the rectangle
+    is convex, so two in-bounds endpoints never leave the map).
+    """
+    h, w = cm.data.shape[-2], cm.data.shape[-1]
+    res = cm.resolution
+    ox = cm.origin[..., 0]
+    oy = cm.origin[..., 1]
+    x0, y0, x1, y1 = jnp.broadcast_arrays(
+        jnp.asarray(x0, jnp.float32), jnp.asarray(y0, jnp.float32),
+        jnp.asarray(x1, jnp.float32), jnp.asarray(y1, jnp.float32))
+
+    big = jnp.float32(jnp.inf)
+    mx = jnp.int32(jnp.floor((x0 - ox) / res))
+    my = jnp.int32(jnp.floor((y0 - oy) / res))
+    ex = jnp.int32(jnp.floor((x1 - ox) / res))
+    ey = jnp.int32(jnp.floor((y1 - oy) / res))
+
+    dx = x1 - x0
+    dy = y1 - y0
+    step_x = jnp.where(dx > 0, 1, -1).astype(jnp.int32)
+    step_y = jnp.where(dy > 0, 1, -1).astype(jnp.int32)
+
+    # Parametric distance to the next cell boundary along each axis
+    # (cpp:117-130 formulas).
+    edge_x = ox + (mx + (dx > 0)).astype(jnp.float32) * res
+    edge_y = oy + (my + (dy > 0)).astype(jnp.float32) * res
+    t_max_x = jnp.where(dx != 0.0, (edge_x - x0) / dx, big)
+    t_max_y = jnp.where(dy != 0.0, (edge_y - y0) / dy, big)
+    t_delta_x = jnp.where(dx != 0.0, res / jnp.abs(dx), big)
+    t_delta_y = jnp.where(dy != 0.0, res / jnp.abs(dy), big)
+
+    best = cost_at_cell(cm, mx, my)
+    # Out-of-bounds endpoint => the segment leaves the map => lethal somewhere
+    # along it (see docstring); the start cell is already in `best` via
+    # cost_at_cell's OOB policy.
+    end_oob = (ex < 0) | (ex >= w) | (ey < 0) | (ey >= h)
+    best = jnp.where(end_oob, jnp.maximum(best, 1.0), best)
+
+    def step(carry, _):
+        mx, my, t_max_x, t_max_y, best, done = carry
+        done = done | ((mx == ex) & (my == ey))
+        take_x = t_max_x < t_max_y  # tie -> y step, like the C++ comparison
+        t = jnp.where(take_x, t_max_x, t_max_y)
+        nmx = mx + jnp.where(take_x, step_x, 0)
+        nmy = my + jnp.where(take_x, 0, step_y)
+        nt_max_x = jnp.where(take_x, t_max_x + t_delta_x, t_max_x)
+        nt_max_y = jnp.where(take_x, t_max_y, t_max_y + t_delta_y)
+        # cpp:146 — a crossing beyond the segment end is not taken.
+        past_end = t > 1.0
+        advance = ~done & ~past_end
+        best = jnp.where(advance, jnp.maximum(best, cost_at_cell(cm, nmx, nmy)),
+                         best)
+        mx = jnp.where(advance, nmx, mx)
+        my = jnp.where(advance, nmy, my)
+        t_max_x = jnp.where(advance, nt_max_x, t_max_x)
+        t_max_y = jnp.where(advance, nt_max_y, t_max_y)
+        done = done | past_end
+        return (mx, my, t_max_x, t_max_y, best, done), None
+
+    init = (mx, my, t_max_x, t_max_y, best, jnp.zeros_like(mx, bool))
+    (_, _, _, _, best, _), _ = jax.lax.scan(step, init, None, length=h + w)
+    return best
+
+
 def footprint_cost(cm: Costmap, fp: Footprint, samples: int = 32,
                    mode: str = "gather") -> jnp.ndarray:
     """Max costmap cost along the polygon boundary (normalized scale, 1.0 =
@@ -77,19 +172,29 @@ def footprint_cost(cm: Costmap, fp: Footprint, samples: int = 32,
     Edges run i -> (i+1) mod n_valid, including the closing edge, matching the
     nav2 footprint checker's edge iteration. Padded vertices are excluded via
     the valid mask.
+
+    mode: "gather"/"onehot" sample each edge at `samples` uniform points
+    (choose `samples` via required_edge_samples so the spacing stays below the
+    map resolution); "exact" walks every crossed cell (line_cost_exact) and
+    ignores `samples`.
     """
     V = fp.vertices.shape[0]
     idx = jnp.arange(V)
     nxt = jnp.mod(idx + 1, fp.n_valid)
     starts = fp.vertices                      # (V, 2)
     ends = fp.vertices[nxt]                   # (V, 2)
+    edge_valid = idx < fp.n_valid             # (V,)
+
+    if mode == "exact":
+        costs = line_cost_exact(cm, starts[:, 0], starts[:, 1],
+                                ends[:, 0], ends[:, 1])  # (V,)
+        return jnp.max(jnp.where(edge_valid, costs, -jnp.inf))
 
     t = jnp.linspace(0.0, 1.0, samples)       # (S,)
     pts = starts[:, None, :] + (ends - starts)[:, None, :] * t[None, :, None]  # (V, S, 2)
     sample = cost_at_world_onehot if mode == "onehot" else cost_at_world
     costs = sample(cm, pts[..., 0], pts[..., 1])  # (V, S)
 
-    edge_valid = idx < fp.n_valid             # (V,)
     costs = jnp.where(edge_valid[:, None], costs, -jnp.inf)
     return jnp.max(costs)
 

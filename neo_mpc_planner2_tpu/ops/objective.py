@@ -207,7 +207,7 @@ def parity_footprint_term(scen: Scenario, cfg: MpcConfig) -> jnp.ndarray:
     it does not depend on the decision variables."""
     fp_world = transform_footprint(scen.current_pose, scen.footprint)
     fp_cost = footprint_cost(scen.costmap, fp_world, cfg.footprint_edge_samples,
-                             cfg.costmap_sampling)
+                             cfg.footprint_mode)
     w = resolve_weights(scen, cfg)
     return jnp.where(fp_cost == 1.0, fp_cost**2 * w.w_footprint, 0.0)
 
@@ -269,7 +269,7 @@ def objective_product(cmd_flat: jnp.ndarray, scen: Scenario, cfg: MpcConfig,
             scen.costmap,
             transform_footprint(odom_traj[i], scen.footprint),
             cfg.footprint_edge_samples,
-            cfg.costmap_sampling,
+            cfg.footprint_mode,
         )
 
     fp_costs = jnp.stack([fp_at(i) for i in range(n)])

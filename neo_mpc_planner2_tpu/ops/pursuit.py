@@ -137,7 +137,7 @@ def pursuit_tick(
     # can never fire (SURVEY.md §2.3.3) — net behavior is the else-if chain.
     fp_cost = footprint_cost_at_pose(
         costmap, base_footprint, robot_pose, cfg.footprint_edge_samples,
-        cfg.costmap_sampling,
+        cfg.footprint_mode,
     )
     yaw_mag = jnp.abs(carrot[2])
     new_slow_down = jnp.where(

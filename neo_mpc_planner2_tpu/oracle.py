@@ -47,14 +47,53 @@ class NpCostmap:
     def get_cost_world(self, wx, wy):
         return self.get_cost(*self.world_to_map(wx, wy))
 
-    def footprint_cost(self, vertices: np.ndarray, samples: int) -> float:
-        """Max cost along the closed polygon boundary, uniform edge sampling
-        (same scheme as ops/footprint.footprint_cost)."""
+    def line_cost_exact(self, x0, y0, x1, y1) -> float:
+        """Exact Amanatides-Woo walk — mirror of the native host's line_cost
+        (neo_mpc_host.cpp:105-150) and ops.footprint.line_cost_exact."""
+        res = self.resolution
+        mx = int(np.floor((x0 - self.origin[0]) / res))
+        my = int(np.floor((y0 - self.origin[1]) / res))
+        ex = int(np.floor((x1 - self.origin[0]) / res))
+        ey = int(np.floor((y1 - self.origin[1]) / res))
+        dx, dy = x1 - x0, y1 - y0
+        step_x = 1 if dx > 0 else -1
+        step_y = 1 if dy > 0 else -1
+        inf = float("inf")
+        t_max_x = ((self.origin[0] + (mx + (1 if dx > 0 else 0)) * res) - x0) / dx if dx != 0 else inf
+        t_max_y = ((self.origin[1] + (my + (1 if dy > 0 else 0)) * res) - y0) / dy if dy != 0 else inf
+        t_delta_x = res / abs(dx) if dx != 0 else inf
+        t_delta_y = res / abs(dy) if dy != 0 else inf
+        best = self.get_cost(mx, my)
+        max_steps = abs(ex - mx) + abs(ey - my) + 2
+        for _ in range(max_steps):
+            if mx == ex and my == ey:
+                break
+            if t_max_x < t_max_y:
+                t = t_max_x
+                t_max_x += t_delta_x
+                mx += step_x
+            else:
+                t = t_max_y
+                t_max_y += t_delta_y
+                my += step_y
+            if t > 1.0:
+                break
+            best = max(best, self.get_cost(mx, my))
+        return best
+
+    def footprint_cost(self, vertices: np.ndarray, samples: int,
+                       exact: bool = False) -> float:
+        """Max cost along the closed polygon boundary: uniform edge sampling
+        (same scheme as ops/footprint.footprint_cost) or the exact cell walk
+        (exact=True, matching cfg.footprint_exact)."""
         n = len(vertices)
         best = -np.inf
         for i in range(n):
             a = vertices[i]
             b = vertices[(i + 1) % n]
+            if exact:
+                best = max(best, self.line_cost_exact(a[0], a[1], b[0], b[1]))
+                continue
             for t in np.linspace(0.0, 1.0, samples):
                 p = a + (b - a) * t
                 best = max(best, self.get_cost_world(p[0], p[1]))
@@ -125,7 +164,9 @@ def oracle_objective(cmd_flat: np.ndarray, scen: NpScenario, cfg: MpcConfig,
 
     # Footprint-aliasing no-op (py:227/238-244): evaluated once, untransformed.
     if fp_cost is None:
-        fp_cost = scen.costmap.footprint_cost(_placed_footprint(scen), cfg.footprint_edge_samples)
+        fp_cost = scen.costmap.footprint_cost(
+            _placed_footprint(scen), cfg.footprint_edge_samples,
+            exact=cfg.footprint_exact)
 
     cost = 0.0
     for i in range(n):
@@ -189,7 +230,8 @@ class OracleServer:
                 self.collision = True
                 break
         fp = scen.costmap.footprint_cost(
-            _placed_footprint(scen), self.cfg.footprint_edge_samples
+            _placed_footprint(scen), self.cfg.footprint_edge_samples,
+            exact=self.cfg.footprint_exact
         )
         self.collision_footprint = fp == 1.0
 
@@ -204,7 +246,8 @@ class OracleServer:
             self.waiting_time = 0.0
 
         fp_cost = scen.costmap.footprint_cost(
-            _placed_footprint(scen), cfg.footprint_edge_samples
+            _placed_footprint(scen), cfg.footprint_edge_samples,
+            exact=cfg.footprint_exact
         )
         res = minimize(
             oracle_objective,

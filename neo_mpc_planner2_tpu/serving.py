@@ -101,6 +101,7 @@ class OptimizerSession:
             origin=tuple(msg.get("origin", (0.0, 0.0))),
             resolution=float(msg.get("resolution", 0.05)),
         )
+        self._ensure_footprint_sampling()
         return {"ok": True, "shape": list(self.costmap.data.shape)}
 
     def op_set_footprint(self, msg: dict) -> dict:
@@ -108,7 +109,24 @@ class OptimizerSession:
             np.asarray(msg["points"], np.float32),
             max_vertices=self.cfg.max_footprint_vertices,
         )
+        self._ensure_footprint_sampling()
         return {"ok": True}
+
+    def _ensure_footprint_sampling(self) -> None:
+        """Bump footprint_edge_samples so uniform sampling cannot skip cells
+        (ceil(max_edge/resolution)+2; ADVICE round-1). No-op in exact mode."""
+        if (self.cfg.footprint_exact or self.costmap is None
+                or self.footprint is None):
+            return
+        from .ops.footprint import required_edge_samples
+
+        nv = int(self.footprint.n_valid)
+        need = required_edge_samples(
+            np.asarray(self.footprint.vertices)[:nv],
+            float(self.costmap.resolution))
+        if need > self.cfg.footprint_edge_samples:
+            self.cfg = self.cfg.replace(footprint_edge_samples=need)
+            self._rebuild()
 
     def op_reset(self, msg: dict) -> dict:
         self.state = init_state(self.cfg)

@@ -54,6 +54,7 @@ class NeoMpcController:
         self._active = False
         self._last_time = 0.0
         self._native = None
+        self._limits = None
         self.last_result: Optional[StepResult] = None
 
     # ---- lifecycle (h:72-90) ----
@@ -81,6 +82,7 @@ class NeoMpcController:
             self._footprint = footprint
         self._parity = parity
         self._native_geometry = native_geometry
+        self._limits = None
         self._ensure_footprint_sampling()
         self._build_engine()
         self._state = self._engine.init_state()
@@ -193,19 +195,27 @@ class NeoMpcController:
         """setSpeedLimit (h:122, cpp:283-288). The reference leaves this
         EMPTY — a silent no-op. Kept functional here (scales max_vel_trans /
         box bounds) because a no-op speed limiter on a real robot is a safety
-        bug, not a quirk worth preserving; triggers one recompile."""
+        bug, not a quirk worth preserving.
+
+        Retrace-free: the scaled bounds ride a runtime Limits pytree into the
+        already-compiled engine step (the first limited tick traces the
+        with-limits executable once; every later change reuses it)."""
         if self.cfg is None:
             raise ControllerException("configure() first")
+        from .ops.objective import Limits
+
         base = self._base_cfg
         scale = (speed_limit / 100.0 if percentage
                  else speed_limit / base.max_vel_trans)
         scale = float(np.clip(scale, 1e-3, 1.0))
+        # cfg mirrors the effective bounds for introspection; the engine is
+        # NOT rebuilt — the limits pytree carries the change.
         self.cfg = base.replace(
             max_vel_trans=base.max_vel_trans * scale,
             max_vel_x=base.max_vel_x * scale, min_vel_x=base.min_vel_x * scale,
             max_vel_y=base.max_vel_y * scale, min_vel_y=base.min_vel_y * scale,
         )
-        self._build_engine()
+        self._limits = Limits.from_config(self.cfg)
 
     # ---- the tick (cpp:202-254) ----
     def compute_velocity_commands(self, pose, velocity,
@@ -231,6 +241,7 @@ class NeoMpcController:
             self._state, self._plan,
             jnp.asarray(pose, jnp.float32), jnp.asarray(velocity, jnp.float32),
             self._costmap, self._footprint, float(delta_t),
+            limits=self._limits,
         )
         self._state = out.state
         self.last_result = out
@@ -265,7 +276,8 @@ class NeoMpcController:
             current_pose=req.current_pose, carrot_pose=req.carrot_pose,
             goal_pose=req.goal_pose, current_vel=req.current_vel,
             footprint=self._footprint, costmap=self._costmap,
-            switch_opt=req.switch_opt, control_interval=req.control_interval)
+            switch_opt=req.switch_opt, control_interval=req.control_interval,
+            limits=self._limits)
         out = self._native_solve(self._state, scen, jnp.float32(delta_t))
         self._state = out.state
         self.last_result = out

@@ -154,7 +154,12 @@ def solve_step(
     ci = (jnp.asarray(cfg.control_interval, x.dtype)
           if scen.control_interval is None
           else jnp.asarray(scen.control_interval, x.dtype))
-    acc = jnp.array([cfg.acc_x_limit, cfg.acc_y_limit, cfg.acc_theta_limit], x.dtype) * ci
+    if scen.limits is None:
+        acc_lim = jnp.array([cfg.acc_x_limit, cfg.acc_y_limit,
+                             cfg.acc_theta_limit], x.dtype)
+    else:
+        acc_lim = jnp.asarray(scen.limits.acc, x.dtype)
+    acc = acc_lim * ci
     clamped = jnp.maximum(jnp.minimum(x[:3], last_control + acc), last_control - acc)
     cmd = jnp.where(blocked, jnp.zeros(3, x.dtype), clamped)
 
@@ -199,12 +204,17 @@ def controller_step(
     *,
     parity: bool = True,
     solver=None,
+    limits=None,
 ) -> StepResult:
     """The FULL tick: plugin geometry + solve + post-processing.
 
     Equivalent of computeVelocityCommands (cpp:202-254) with the service hop
     replaced by an in-graph call. The cpp:234-236 ControllerException becomes
     the `lethal` flag (host decides whether to raise).
+
+    limits: optional runtime Limits pytree (speed-limit / dynamic-reconfigure
+    bounds) applied to the solver box/cone and the acceleration clamp without
+    retracing.
     """
     pr = pursuit_tick(
         cfg, plan, state.plan_start, state.slow_down, robot_pose, costmap, base_footprint
@@ -217,6 +227,7 @@ def controller_step(
         footprint=base_footprint,
         costmap=costmap,
         switch_opt=pr.closer_to_goal,
+        limits=limits,
     )
     # The reference throws BEFORE the optimizer service call on both plugin
     # gates — empty transformed plan (cpp:130-132, after the cpp:127 prefix
@@ -254,10 +265,11 @@ class MpcEngine:
         self.cfg = cfg
         self.parity = parity
 
-        def _step(state, plan, robot_pose, current_vel, costmap, footprint, delta_t):
+        def _step(state, plan, robot_pose, current_vel, costmap, footprint,
+                  delta_t, limits=None):
             return controller_step(
                 cfg, state, plan, robot_pose, current_vel, costmap, footprint,
-                delta_t, parity=parity,
+                delta_t, parity=parity, limits=limits,
             )
 
         # vmap over every per-scenario argument; config is closed over.
@@ -279,10 +291,12 @@ class MpcEngine:
             lambda x: jnp.broadcast_to(x, (batch,) + x.shape), init_state(self.cfg)
         )
 
-    def step(self, state, plan, robot_pose, current_vel, costmap, footprint, delta_t):
+    def step(self, state, plan, robot_pose, current_vel, costmap, footprint,
+             delta_t, limits=None):
         return self._step(state, plan, robot_pose, current_vel, costmap, footprint,
-                          jnp.asarray(delta_t, jnp.float32))
+                          jnp.asarray(delta_t, jnp.float32), limits)
 
-    def batch_step(self, state, plan, robot_pose, current_vel, costmap, footprint, delta_t):
+    def batch_step(self, state, plan, robot_pose, current_vel, costmap, footprint,
+                   delta_t, limits=None):
         return self._batch_step(state, plan, robot_pose, current_vel, costmap,
-                                footprint, delta_t)
+                                footprint, delta_t, limits)

@@ -27,9 +27,9 @@ from .rollout import rollout
 from .se2 import wrap_angle
 
 __all__ = [
-    "Scenario", "Weights", "resolve_weights", "buggy_odom_yaw",
-    "parity_footprint_term", "objective_parity", "objective_product",
-    "make_objective",
+    "Scenario", "Weights", "Limits", "resolve_weights", "resolve_limits",
+    "buggy_odom_yaw", "parity_footprint_term", "objective_parity",
+    "objective_product", "make_objective",
 ]
 
 
@@ -70,6 +70,43 @@ class Weights:
 
 
 @flax.struct.dataclass
+class Limits:
+    """Runtime velocity/acceleration limits — the dynamic-reconfigure axis.
+
+    The reference's cb_params (py:405-439) and the plugin's setSpeedLimit remap
+    bounds at runtime without rebuilding anything; carrying them as a traced
+    pytree (instead of static config closures) lets the solver's box/cone and
+    the acceleration clamp update retrace-free: set new values, run the same
+    compiled executable. A None-valued Limits on the Scenario falls back to the
+    static config values.
+    """
+
+    vel_lo: jnp.ndarray        # (3,) min_vel_x, min_vel_y, min_vel_theta
+    vel_hi: jnp.ndarray        # (3,) max_vel_x, max_vel_y, max_vel_theta
+    max_vel_trans: jnp.ndarray  # () translational-speed cone radius
+    acc: jnp.ndarray           # (3,) acc_x_limit, acc_y_limit, acc_theta_limit
+
+    @staticmethod
+    def from_config(cfg: MpcConfig) -> "Limits":
+        f = lambda *v: jnp.asarray(v, jnp.float32)
+        return Limits(
+            vel_lo=f(cfg.min_vel_x, cfg.min_vel_y, cfg.min_vel_theta),
+            vel_hi=f(cfg.max_vel_x, cfg.max_vel_y, cfg.max_vel_theta),
+            max_vel_trans=jnp.asarray(cfg.max_vel_trans, jnp.float32),
+            acc=f(cfg.acc_x_limit, cfg.acc_y_limit, cfg.acc_theta_limit),
+        )
+
+    def scaled(self, scale: float) -> "Limits":
+        """Translational bounds scaled by a speed-limit fraction (setSpeedLimit
+        'percentage from maximum robot speed'); yaw rate and accelerations
+        untouched."""
+        s = jnp.asarray(scale, jnp.float32)
+        m = jnp.array([s, s, 1.0], jnp.float32)
+        return Limits(vel_lo=self.vel_lo * m, vel_hi=self.vel_hi * m,
+                      max_vel_trans=self.max_vel_trans * s, acc=self.acc)
+
+
+@flax.struct.dataclass
 class Scenario:
     """One solve request — the device-resident analogue of the
     neo_srvs2/srv/Optimizer request (packed at NeoMpcPlanner.cpp:240-246)
@@ -107,10 +144,15 @@ class Scenario:
     # takes this from the service request (py:355; packed at cpp:246), NOT
     # from a server parameter. None -> cfg.control_interval.
     control_interval: "jnp.ndarray | None" = None
+    # Optional runtime velocity/acceleration limits (Limits or None). None
+    # means the static config bounds; a Limits pytree makes speed-limit and
+    # cb_params-style bound updates retrace-free.
+    limits: "Limits | None" = None
 
     @staticmethod
     def create(current_pose, carrot_pose, goal_pose, current_vel, footprint, costmap,
-               switch_opt=False, weights=None, control_interval=None) -> "Scenario":
+               switch_opt=False, weights=None, control_interval=None,
+               limits=None) -> "Scenario":
         f32 = lambda a: jnp.asarray(a, jnp.float32)
         return Scenario(
             current_pose=f32(current_pose),
@@ -122,6 +164,7 @@ class Scenario:
             switch_opt=jnp.asarray(switch_opt, bool),
             weights=weights,
             control_interval=None if control_interval is None else f32(control_interval),
+            limits=limits,
         )
 
 
@@ -140,6 +183,12 @@ def buggy_odom_yaw(current_yaw: jnp.ndarray, goal_yaw: jnp.ndarray) -> jnp.ndarr
 def resolve_weights(scen: "Scenario", cfg: MpcConfig) -> "Weights":
     """Per-scenario weights when provided, else the static config values."""
     return scen.weights if scen.weights is not None else Weights.from_config(cfg)
+
+
+def resolve_limits(scen: "Scenario", cfg: MpcConfig) -> "Limits":
+    """Per-scenario runtime limits when provided, else static config values
+    (which XLA folds to constants — the zero-cost default path)."""
+    return scen.limits if scen.limits is not None else Limits.from_config(cfg)
 
 
 def control_cost(cmd_flat: jnp.ndarray, current_vel: jnp.ndarray, cfg: MpcConfig,

@@ -28,6 +28,7 @@ cross the host boundary per tick once the costmap is set.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import socket
 import socketserver
@@ -42,8 +43,20 @@ from .config import MpcConfig, config_from_ros_params, default_config
 from .engine import init_state, solve_step
 from .ops.costmap import Costmap
 from .ops.footprint import Footprint
-from .ops.objective import Scenario, make_objective
+from .ops.objective import Limits, Scenario, Weights, make_objective
 from .sqp import make_sqp_solver
+
+# Parameters the reference's cb_params updates in place (py:405-439): weights
+# and velocity/acceleration bounds. These ride the Weights/Limits pytrees into
+# the compiled step, so reconfiguring them never retraces; anything else
+# (horizon, tolerances, sampling shapes) rebuilds the executable.
+RUNTIME_PARAMS = frozenset({
+    "w_trans", "w_orient", "w_control", "w_terminal", "w_costmap",
+    "w_footprint",
+    "min_vel_x", "min_vel_y", "min_vel_theta", "min_vel_trans",
+    "max_vel_x", "max_vel_y", "max_vel_trans", "max_vel_theta",
+    "acc_x_limit", "acc_y_limit", "acc_theta_limit",
+})
 
 __all__ = ["OptimizerSession", "serve", "OptimizerClient"]
 
@@ -76,6 +89,10 @@ class OptimizerSession:
             return solve_step(cfg, state, scen, delta_t, solver=solver)
 
         self._step = jax.jit(step)
+        # Weights/limits always travel as traced pytrees so runtime parameter
+        # updates (RUNTIME_PARAMS) hit the same compiled executable.
+        self._weights = Weights.from_config(cfg)
+        self._limits = Limits.from_config(cfg)
         # Dynamic reconfigure keeps mission state when shapes allow — the
         # reference's cb_params (py:405-439) updates weights in place without
         # touching initial_guess/last_control/timers. Only a control_steps
@@ -89,11 +106,24 @@ class OptimizerSession:
         # Merge over the current config: a partial reconfigure updates only
         # the named parameters (cb_params semantics, py:405-439) instead of
         # silently resetting the rest to defaults (ADVICE round-1).
-        self.cfg = config_from_ros_params(msg.get("params", {}), base=self.cfg)
+        old_cfg = self.cfg
+        params = msg.get("params", {})
+        self.cfg = config_from_ros_params(params, base=self.cfg)
         if "pipelined" in msg:
             self.pipelined = bool(msg["pipelined"])
+        changed = {f.name for f in dataclasses.fields(MpcConfig)
+                   if f.name != "compat"
+                   and getattr(self.cfg, f.name) != getattr(old_cfg, f.name)}
+        if changed <= RUNTIME_PARAMS:
+            # Weight / bound update only: refresh the pytrees, keep the
+            # compiled executable (the reference's in-place cb_params path —
+            # and unlike its py:432-435 bug, w_costmap/w_footprint updates
+            # actually take effect here).
+            self._weights = Weights.from_config(self.cfg)
+            self._limits = Limits.from_config(self.cfg)
+            return {"ok": True, "pipelined": self.pipelined, "retraced": False}
         self._rebuild()
-        return {"ok": True, "pipelined": self.pipelined}
+        return {"ok": True, "pipelined": self.pipelined, "retraced": True}
 
     def op_set_costmap(self, msg: dict) -> dict:
         self.costmap = Costmap.create(
@@ -156,6 +186,8 @@ class OptimizerSession:
             switch_opt=bool(msg.get("switch_opt", False)),
             control_interval=float(msg.get("control_interval",
                                            self.cfg.control_interval)),
+            weights=self._weights,
+            limits=self._limits,
         )
         if "delta_t" in msg:
             delta_t = float(msg["delta_t"])

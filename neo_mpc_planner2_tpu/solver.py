@@ -93,17 +93,25 @@ def _project_box_disk(xy: jnp.ndarray, lo, hi, r) -> jnp.ndarray:
     return jnp.where(pb_ok[:, None], pb, jnp.where(pd_ok[:, None], pd, best))
 
 
-def project_feasible(u_flat: jnp.ndarray, cfg: MpcConfig) -> jnp.ndarray:
+def project_feasible(u_flat: jnp.ndarray, cfg: MpcConfig,
+                     limits=None) -> jnp.ndarray:
     """Exact projection onto the per-step feasible set
     [min_vel_x,max_vel_x]×[min_vel_y,max_vel_y]×[min_vel_theta,max_vel_theta]
     ∩ {‖(vx,vy)‖ ≤ max_vel_trans}: closed form (theta clamp + exact 2-D
-    box∩disk projection)."""
+    box∩disk projection). `limits`: optional runtime Limits pytree overriding
+    the static config bounds (retrace-free reconfigure)."""
     n = cfg.control_steps
     u = u_flat.reshape(n, 3)
-    lo = jnp.array([cfg.min_vel_x, cfg.min_vel_y], u.dtype)
-    hi = jnp.array([cfg.max_vel_x, cfg.max_vel_y], u.dtype)
-    r = jnp.asarray(cfg.max_vel_trans, u.dtype)
-    theta = jnp.clip(u[:, 2], cfg.min_vel_theta, cfg.max_vel_theta)
+    if limits is None:
+        lo = jnp.array([cfg.min_vel_x, cfg.min_vel_y], u.dtype)
+        hi = jnp.array([cfg.max_vel_x, cfg.max_vel_y], u.dtype)
+        r = jnp.asarray(cfg.max_vel_trans, u.dtype)
+        theta = jnp.clip(u[:, 2], cfg.min_vel_theta, cfg.max_vel_theta)
+    else:
+        lo = jnp.asarray(limits.vel_lo[:2], u.dtype)
+        hi = jnp.asarray(limits.vel_hi[:2], u.dtype)
+        r = jnp.asarray(limits.max_vel_trans, u.dtype)
+        theta = jnp.clip(u[:, 2], limits.vel_lo[2], limits.vel_hi[2])
     xy = _project_box_disk(u[:, :2], lo, hi, r)
     return jnp.concatenate([xy, theta[:, None]], axis=1).reshape(-1)
 
@@ -118,7 +126,7 @@ def _soft_threshold_to(u: jnp.ndarray, v: jnp.ndarray, tau: jnp.ndarray) -> jnp.
 
 
 def prox_g(z_flat: jnp.ndarray, tau: jnp.ndarray, current_vel: jnp.ndarray,
-           cfg: MpcConfig) -> jnp.ndarray:
+           cfg: MpcConfig, limits=None) -> jnp.ndarray:
     """Exact prox of g(u) = tau·Σ_i‖u_i − v‖ + ind_box(u) + ind_disk(u_xy)
     via Dykstra-like proximal splitting (cyclic Dykstra generalizes from
     projections to proximity operators and converges to the prox of the sum).
@@ -131,7 +139,7 @@ def prox_g(z_flat: jnp.ndarray, tau: jnp.ndarray, current_vel: jnp.ndarray,
     z = z_flat.reshape(n, 3)
 
     def proj_set(u):
-        return project_feasible(u.reshape(-1), cfg).reshape(n, 3)
+        return project_feasible(u.reshape(-1), cfg, limits).reshape(n, 3)
 
     def cycle(carry, _):
         x, p1, p2 = carry
@@ -168,6 +176,7 @@ def prox_fista(
     ftol: float | None = None,
     max_iters: int | None = None,
     L0: float = 1.0,
+    limits=None,
 ) -> SolveResult:
     """Minimize F = f_smooth + g_ctrl over the feasible set from warm start x0.
 
@@ -176,13 +185,13 @@ def prox_fista(
     """
     ftol = cfg.opt_tolerance if ftol is None else ftol
     max_iters = cfg.solver_max_iters if max_iters is None else max_iters
-    proj = partial(project_feasible, cfg=cfg)
+    proj = partial(project_feasible, cfg=cfg, limits=limits)
     val_grad = jax.value_and_grad(f_smooth)
     eta = 2.0
     max_backtracks = 30
 
     def prox(z, L):
-        return prox_g(z, ctrl_lambda / L, current_vel, cfg)
+        return prox_g(z, ctrl_lambda / L, current_vel, cfg, limits)
 
     def F(u):
         return f_smooth(u) + g_ctrl(u)
@@ -256,7 +265,7 @@ def make_solver(cfg: MpcConfig, objective, ftol: float | None = None,
         g_ctrl = lambda u: control_cost(u, scen.current_vel, cfg)
         return prox_fista(
             f_smooth, g_ctrl, lam, scen.current_vel, x0, cfg,
-            ftol=ftol, max_iters=max_iters,
+            ftol=ftol, max_iters=max_iters, limits=scen.limits,
         )
 
     return solve

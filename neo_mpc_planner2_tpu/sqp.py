@@ -37,17 +37,18 @@ from .solver import SolveResult
 __all__ = ["sqp_solve", "make_sqp_solver"]
 
 
-def _cone_constraints(x: jnp.ndarray, cfg: MpcConfig):
+def _cone_constraints(x: jnp.ndarray, cfg: MpcConfig, max_vel_trans=None):
     """c_i(x) = max_vel_trans − ‖(vx, vy)_i‖ ≥ 0 and its Jacobian J (N, 3N).
 
     At xy = 0 the constraint is inactive (c = r > 0) and the true Jacobian is
     undefined; a zero row is safe there.
     """
     n = cfg.control_steps
+    r = cfg.max_vel_trans if max_vel_trans is None else max_vel_trans
     u = x.reshape(n, 3)
     xy = u[:, :2]
     nrm = jnp.sqrt(jnp.sum(xy**2, axis=-1))
-    c = cfg.max_vel_trans - nrm
+    c = r - nrm
     safe = jnp.maximum(nrm, 1e-12)
     dxy = -xy / safe[:, None]
     dxy = jnp.where(nrm[:, None] > 1e-12, dxy, 0.0)
@@ -102,8 +103,8 @@ def _chol_inverse(M: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(X, axis=-2)
 
 
-def _qp_admm(B, g, x, c, J, cfg: MpcConfig, iters: int, rho: float = 1.0,
-             sigma: float = 1e-6):
+def _qp_admm(B, g, x, c, J, cfg: MpcConfig, iters: int, lo, hi,
+             rho: float = 1.0, sigma: float = 1e-6):
     """OSQP-style ADMM for  min ½dᵀBd + gᵀd  s.t.  lo−x ≤ d ≤ hi−x,
     Jd ≥ −c.  Returns (d, y_cone) with y_cone the cone dual estimates.
 
@@ -111,9 +112,6 @@ def _qp_admm(B, g, x, c, J, cfg: MpcConfig, iters: int, rho: float = 1.0,
     [lo−x, hi−x], the cone part in [−c, +inf).
     """
     m = x.shape[0]
-    n = cfg.control_steps
-    lo = jnp.tile(jnp.array([cfg.min_vel_x, cfg.min_vel_y, cfg.min_vel_theta], x.dtype), n)
-    hi = jnp.tile(jnp.array([cfg.max_vel_x, cfg.max_vel_y, cfg.max_vel_theta], x.dtype), n)
     dlo = lo - x
     dhi = hi - x
 
@@ -164,6 +162,7 @@ def sqp_solve(
     qp_iters: int | None = None,
     max_backtracks: int = 16,
     parallel_ls: bool = False,
+    limits=None,
 ) -> SolveResult:
     """Minimize f over box ∩ cone from warm start x0 (SLSQP-equivalent).
 
@@ -180,20 +179,27 @@ def sqp_solve(
     m = x0.shape[0]
     val_grad = jax.value_and_grad(f)
 
+    n = cfg.control_steps
+    if limits is None:
+        lo = jnp.tile(jnp.array([cfg.min_vel_x, cfg.min_vel_y, cfg.min_vel_theta], x0.dtype), n)
+        hi = jnp.tile(jnp.array([cfg.max_vel_x, cfg.max_vel_y, cfg.max_vel_theta], x0.dtype), n)
+        max_trans = None
+    else:
+        lo = jnp.tile(jnp.asarray(limits.vel_lo, x0.dtype), n)
+        hi = jnp.tile(jnp.asarray(limits.vel_hi, x0.dtype), n)
+        max_trans = jnp.asarray(limits.max_vel_trans, x0.dtype)
+
     def merit(x, mu):
-        c, _ = _cone_constraints(x, cfg)
+        c, _ = _cone_constraints(x, cfg, max_trans)
         return f(x) + mu * jnp.sum(jnp.maximum(-c, 0.0))
 
     # Start from the box-clipped warm start (scipy clips x0 into the bounds).
-    n = cfg.control_steps
-    lo = jnp.tile(jnp.array([cfg.min_vel_x, cfg.min_vel_y, cfg.min_vel_theta], x0.dtype), n)
-    hi = jnp.tile(jnp.array([cfg.max_vel_x, cfg.max_vel_y, cfg.max_vel_theta], x0.dtype), n)
     x0 = jnp.clip(x0, lo, hi)
     f0, g0 = val_grad(x0)
 
     def body(s: _SqpState) -> _SqpState:
-        c, J = _cone_constraints(s.x, cfg)
-        d, y_cone = _qp_admm(s.B, s.grad, s.x, c, J, cfg, qp_iters)
+        c, J = _cone_constraints(s.x, cfg, max_trans)
+        d, y_cone = _qp_admm(s.B, s.grad, s.x, c, J, cfg, qp_iters, lo, hi)
 
         # Exact-penalty weight: dominate the largest multiplier estimate.
         mu = jnp.maximum(s.mu, 1.5 * jnp.max(jnp.abs(y_cone)) + 1e-3)
@@ -311,6 +317,7 @@ def make_sqp_solver(cfg: MpcConfig, objective, ftol: float | None = None,
         return sqp_solve(fobj, x0, cfg, ftol=ftol, max_iters=max_iters,
                          qp_iters=qp_iters,
                          parallel_ls=(cfg.parallel_line_search
-                                      if parallel_ls is None else parallel_ls))
+                                      if parallel_ls is None else parallel_ls),
+                         limits=scen.limits)
 
     return solve

@@ -61,11 +61,19 @@ def make_scenario_batch(
     resolution: float = 0.05,
     n_obstacles: int = 6,
     plan_points: int = 64,
+    lethal_threshold: float | None = None,
+    pose_jitter: float = 0.05,
 ) -> ScenarioBatch:
     """Random curved plans + Gaussian-blob obstacle maps + perturbed starts.
 
     Covers the BASELINE.json batch axes: per-scenario obstacle layouts and
     lookahead geometry (weight grids batch by building several configs).
+
+    lethal_threshold: when set, blob cells above it saturate to exactly 1.0 —
+    maps then contain true lethal regions so the exact-equality branches
+    (point ×1000 py:257-260, footprint term py:262-263) are reachable.
+    pose_jitter: start-pose spread; widen it to push some footprints against
+    obstacles.
     """
     rng = np.random.default_rng(seed)
 
@@ -107,6 +115,8 @@ def make_scenario_batch(
           + (yy[None, None] - centers[..., 1, None, None]) ** 2)  # (B, O, H, W)
     blobs = amp[..., None, None] * np.exp(-d2 / (2 * sig2))
     data = np.clip(np.max(blobs, axis=1), 0.0, 1.0).astype(np.float32)
+    if lethal_threshold is not None:
+        data = np.where(data > lethal_threshold, 1.0, data).astype(np.float32)
     costmap = Costmap(
         data=jnp.asarray(data),
         origin=jnp.tile(jnp.asarray([-half, -half], jnp.float32), (batch, 1)),
@@ -114,7 +124,8 @@ def make_scenario_batch(
     )
 
     # --- robot state ---
-    robot_pose = jnp.asarray(rng.uniform(-0.05, 0.05, (batch, 3)), jnp.float32)
+    robot_pose = jnp.asarray(
+        rng.uniform(-pose_jitter, pose_jitter, (batch, 3)), jnp.float32)
     current_vel = jnp.asarray(rng.uniform(-0.3, 0.3, (batch, 3)), jnp.float32)
 
     fp1 = mpo700_footprint(cfg.max_footprint_vertices)

@@ -103,13 +103,22 @@ def _chol_inverse(M: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(X, axis=-2)
 
 
-def _qp_admm(B, g, x, c, J, cfg: MpcConfig, iters: int, lo, hi,
+def _qp_admm(B, g, x, c, J, cfg: MpcConfig, iters: int, lo, hi, init=None,
              rho: float = 1.0, sigma: float = 1e-6):
     """OSQP-style ADMM for  min ½dᵀBd + gᵀd  s.t.  lo−x ≤ d ≤ hi−x,
-    Jd ≥ −c.  Returns (d, y_cone) with y_cone the cone dual estimates.
+    Jd ≥ −c.  Returns (d, y_cone, qp_state): the step, the cone dual
+    estimates, and the final ADMM iterate for warm-starting the NEXT QP.
 
     Constraint stack: z = A d with A = [I; J]; the box part of z lives in
     [lo−x, hi−x], the cone part in [−c, +inf).
+
+    init: previous (d, zb, zc, wb, wc) carry. Warm-starting the splitting
+    variables across consecutive SQP subproblems (the OSQP-in-SQP trick — the
+    active set stabilizes as the outer iteration converges) raises the
+    fixed-iteration-budget QP accuracy enough that the outer loop no longer
+    stalls at near-KKT points the reference's SLSQP escapes (round-2 fix:
+    cold ADMM at qp_iters=60 left ~1e-3 objective gaps on ~8 % of the MPO-700
+    suite; warm-started duals close them at the same budget).
     """
     m = x.shape[0]
     dlo = lo - x
@@ -130,15 +139,16 @@ def _qp_admm(B, g, x, c, J, cfg: MpcConfig, iters: int, lo, hi,
         wc = wc + J @ d - zc
         return (d, zb, zc, wb, wc), None
 
-    zeros_m = jnp.zeros_like(x)
-    zeros_n = jnp.zeros_like(c)
-    (d, zb, zc, wb, wc), _ = jax.lax.scan(
-        step, (zeros_m, zeros_m, zeros_n, zeros_m, zeros_n), None, length=iters
-    )
+    if init is None:
+        zeros_m = jnp.zeros_like(x)
+        zeros_n = jnp.zeros_like(c)
+        init = (zeros_m, zeros_m, zeros_n, zeros_m, zeros_n)
+    carry, _ = jax.lax.scan(step, init, None, length=iters)
+    d = carry[0]
     # Final safeguard: clamp the step into the box exactly.
-    d = jnp.clip(d, dlo, dhi)
-    y_cone = rho * wc  # dual estimate for the cone rows
-    return d, y_cone
+    d_out = jnp.clip(d, dlo, dhi)
+    y_cone = rho * carry[4]  # dual estimate for the cone rows
+    return d_out, y_cone, carry
 
 
 class _SqpState(NamedTuple):
@@ -151,6 +161,7 @@ class _SqpState(NamedTuple):
     small_count: jnp.ndarray
     done: jnp.ndarray
     ls_failed: jnp.ndarray
+    qp: tuple  # ADMM warm-start carry (d, zb, zc, wb, wc)
 
 
 def sqp_solve(
@@ -199,7 +210,8 @@ def sqp_solve(
 
     def body(s: _SqpState) -> _SqpState:
         c, J = _cone_constraints(s.x, cfg, max_trans)
-        d, y_cone = _qp_admm(s.B, s.grad, s.x, c, J, cfg, qp_iters, lo, hi)
+        d, y_cone, qp = _qp_admm(s.B, s.grad, s.x, c, J, cfg, qp_iters, lo, hi,
+                                 init=s.qp)
 
         # Exact-penalty weight: dominate the largest multiplier estimate.
         mu = jnp.maximum(s.mu, 1.5 * jnp.max(jnp.abs(y_cone)) + 1e-3)
@@ -281,16 +293,19 @@ def sqp_solve(
         done = (small_count >= 2) | (s.ls_failed & ~ls_ok)
         return _SqpState(x=x_new, f=f_new, grad=g_new, B=B_new, mu=mu,
                          k=s.k + 1, small_count=small_count, done=done,
-                         ls_failed=~ls_ok)
+                         ls_failed=~ls_ok, qp=qp)
 
     def cond(s: _SqpState):
         return (~s.done) & (s.k < max_iters)
 
+    zeros_m = jnp.zeros_like(x0)
+    zeros_n = jnp.zeros(n, x0.dtype)
     init = _SqpState(
         x=x0, f=f0, grad=g0, B=jnp.eye(m, dtype=x0.dtype),
         mu=jnp.asarray(1.0, x0.dtype), k=jnp.int32(0),
         small_count=jnp.int32(0),
         done=jnp.asarray(False), ls_failed=jnp.asarray(False),
+        qp=(zeros_m, zeros_m, zeros_n, zeros_m, zeros_n),
     )
     fin = jax.lax.while_loop(cond, body, init)
     # SLSQP reports success both at ftol convergence and when the line search

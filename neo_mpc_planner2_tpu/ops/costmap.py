@@ -23,10 +23,13 @@ repo; the oracle in `oracle.py` uses the *same* conventions so parity is exact):
 from __future__ import annotations
 
 import flax.struct
+import jax
 import jax.numpy as jnp
 
-__all__ = ["Costmap", "world_to_map", "cost_at_cell", "cost_at_world",
-           "cost_at_cells_onehot", "cost_at_world_onehot", "cost_at_world_bilinear"]
+__all__ = ["Costmap", "CostmapPatch", "world_to_map", "cost_at_cell",
+           "cost_at_world", "cost_at_cells_onehot", "cost_at_world_onehot",
+           "cost_at_world_bilinear", "extract_patch", "patch_cost_at_world",
+           "required_patch_halfwidth"]
 
 LETHAL_COST = 1.0
 
@@ -176,6 +179,129 @@ def cost_at_world_onehot(cm: Costmap, wx: jnp.ndarray, wy: jnp.ndarray) -> jnp.n
     shape = wx.shape
     mx, my = world_to_map(cm, wx.reshape(-1), wy.reshape(-1))
     return cost_at_cells_onehot(cm, mx, my).reshape(shape)
+
+
+@flax.struct.dataclass
+class CostmapPatch:
+    """A small window of a costmap centered on the robot, extracted ONCE per
+    solve so the solver's hot loop never touches the full map.
+
+    Why: each merit/objective evaluation samples the costmap at only
+    control_steps points per scenario, but expressing that on the full map
+    costs either a latency-bound 12k-element gather or a 67 MB one-hot sweep
+    per evaluation — and XLA re-materializes the flattened-map layout copy
+    inside the line-search `while` (134 MB per trip, measured round 2). The
+    patch turns every in-loop sample into a ~1 KB-per-lane one-hot contract.
+
+    Correctness: the window half-width is chosen from the velocity box bounds
+    (required_patch_halfwidth), so every rollout position the solver can ever
+    evaluate lands inside the window; cells outside the window are provably
+    off-map (see extract_patch) and read as lethal, matching cost_at_world's
+    out-of-bounds policy. Index math reuses world_to_map, so values are
+    bit-identical to the full-map path.
+
+    data:  (P, P) window, P = 2*halfwidth + 1, off-map cells = 1.0.
+    cell0: (2,) int32 — full-map (col, row) cell coordinates of data[0, 0]
+           (may be negative near the map edge).
+    """
+
+    data: jnp.ndarray
+    cell0: jnp.ndarray
+
+
+def required_patch_halfwidth(cfg, resolution: float) -> int:
+    """Cells the rollout can traverse from the start cell: the box-bound
+    translational speed sqrt(max|vx|² + max|vy|²) times the horizon, in cells,
+    plus one for the floor-boundary crossing."""
+    import math
+
+    vx = max(abs(cfg.min_vel_x), abs(cfg.max_vel_x))
+    vy = max(abs(cfg.min_vel_y), abs(cfg.max_vel_y))
+    v = math.sqrt(vx * vx + vy * vy)
+    return int(math.ceil(v * cfg.prediction_horizon / float(resolution))) + 1
+
+
+def extract_patch(cm: Costmap, cx: jnp.ndarray, cy: jnp.ndarray,
+                  halfwidth: int) -> CostmapPatch:
+    """Extract the (2h+1)² window around world point (cx, cy).
+
+    The map is padded with a lethal ring of width h, and the slice start is
+    clamped into the padded array. Consequences (each provably safe):
+    - robot cell inside the map → the window is exactly cells
+      [c−h, c+h]² with off-map cells lethal;
+    - robot cell outside the map → the clamped window still carries correct
+      values for every cell it covers, and any sampled cell it does NOT cover
+      is off-map (start clamps only when the center cell is off-map, and then
+      only cells beyond the map edge fall outside the window) → the
+      out-of-window lethal fallback in patch_cost_at_world is exact.
+    """
+    h = halfwidth
+    H, W = cm.data.shape[-2], cm.data.shape[-1]
+    P = 2 * h + 1
+    mx0, my0 = world_to_map(cm, cx, cy)
+    padded = jnp.pad(cm.data, ((h, h), (h, h)), constant_values=LETHAL_COST)
+    sx = jnp.clip(mx0, 0, W - 1)
+    sy = jnp.clip(my0, 0, H - 1)
+    data = jax.lax.dynamic_slice(padded, (sy, sx), (P, P))
+    return CostmapPatch(data=data, cell0=jnp.stack([sx - h, sy - h]))
+
+
+def patch_cost_at_world(cm: Costmap, patch: CostmapPatch, wx: jnp.ndarray,
+                        wy: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-cell lookup through the patch — bit-identical to
+    cost_at_world(cm, wx, wy) for every point within the patch's coverage
+    guarantee (world_to_map does the index math; the patch only re-homes the
+    read). Sampling is a rows/cols one-hot contraction (P ≈ 33), which stays
+    in the solver's fused loop instead of a latency-bound HBM gather.
+    wx/wy: (S,) sample points."""
+    P = patch.data.shape[-1]
+    mx, my = world_to_map(cm, wx, wy)
+    ix = mx - patch.cell0[..., 0]
+    iy = my - patch.cell0[..., 1]
+    inb = (ix >= 0) & (ix < P) & (iy >= 0) & (iy < P)
+    ixc = jnp.clip(ix, 0, P - 1)
+    iyc = jnp.clip(iy, 0, P - 1)
+    rows = (iyc[..., :, None] == jnp.arange(P)[None, :]).astype(patch.data.dtype)
+    cols = (ixc[..., :, None] == jnp.arange(P)[None, :]).astype(patch.data.dtype)
+    t = jnp.einsum("...sp,...pq->...sq", rows, patch.data)
+    vals = jnp.sum(t * cols, axis=-1)
+    return jnp.where(inb, vals, LETHAL_COST)
+
+
+def make_point_sampler(cm: Costmap, cx, cy, patch_halfwidth: int):
+    """Build the solver-loop point sampler, hoisting per-solve work out of the
+    iteration loop.
+
+    patch_halfwidth > 0: extract a CostmapPatch around (cx, cy) once and
+    sample it with one-hot contractions (fastest; requires the half-width
+    physics bound, see required_patch_halfwidth).
+
+    patch_halfwidth == 0: pre-flatten the map once and gather. XLA does NOT
+    hoist the (H, W) -> (H*W,) relayout out of `while` loops — measured as a
+    134 MB copy per line-search trip at batch 4096 — so materializing the
+    flat buffer here, before the loop, removes that copy while keeping the
+    exact gather semantics of cost_at_world.
+    """
+    if patch_halfwidth > 0:
+        patch = extract_patch(cm, cx, cy, patch_halfwidth)
+
+        def sample(wx, wy):
+            return patch_cost_at_world(cm, patch, wx, wy)
+
+        return sample
+
+    h, w = cm.data.shape[-2], cm.data.shape[-1]
+    flat = cm.data.reshape(cm.data.shape[:-2] + (h * w,))
+
+    def sample(wx, wy):
+        mx, my = world_to_map(cm, wx, wy)
+        in_bounds = (mx >= 0) & (mx < w) & (my >= 0) & (my < h)
+        mxc = jnp.clip(mx, 0, w - 1)
+        myc = jnp.clip(my, 0, h - 1)
+        val = flat[..., myc * w + mxc]
+        return jnp.where(in_bounds, val, LETHAL_COST)
+
+    return sample
 
 
 def cost_at_world_bilinear(cm: Costmap, wx: jnp.ndarray, wy: jnp.ndarray) -> jnp.ndarray:

@@ -264,12 +264,16 @@ def parity_footprint_term(scen: Scenario, cfg: MpcConfig) -> jnp.ndarray:
 def objective_parity(
     cmd_flat: jnp.ndarray, scen: Scenario, cfg: MpcConfig,
     fp_term: jnp.ndarray | None = None, include_control: bool = True,
+    point_sampler=None,
 ) -> jnp.ndarray:
     """Quirk-faithful objective. cmd_flat: (3N,) [vx0, vy0, w0, vx1, ...].
 
     fp_term: optional precomputed parity_footprint_term(scen, cfg).
     include_control: set False to get only the smooth terms (the solver adds
     the nonsmooth control term through its prox).
+    point_sampler: optional (wx, wy) -> costs override for the per-step
+    costmap lookup — solvers pass a patch-backed sampler (bit-identical
+    values, hot-loop friendly; ops.costmap.CostmapPatch).
     """
     n = cfg.control_steps
     cmd = cmd_flat.reshape(n, 3)
@@ -287,7 +291,9 @@ def objective_parity(
     odom_traj = rollout(cmd, dt, odom0)
 
     # Nearest-cell costmap sample at each predicted odom position (py:246-247).
-    pc = cost_at_world(scen.costmap, odom_traj[:, 0], odom_traj[:, 1])  # (N,)
+    sample = point_sampler if point_sampler is not None else (
+        lambda wx, wy: cost_at_world(scen.costmap, wx, wy))
+    pc = sample(odom_traj[:, 0], odom_traj[:, 1])  # (N,)
 
     if fp_term is None:
         fp_term = parity_footprint_term(scen, cfg)
@@ -339,12 +345,15 @@ def make_objective(cfg: MpcConfig, parity: bool = True):
     computed once per solve (make_solver does this automatically).
     """
     if parity:
-        def f(cmd_flat, scen, fp_term=None, include_control=True):
+        def f(cmd_flat, scen, fp_term=None, include_control=True,
+              point_sampler=None):
             return objective_parity(cmd_flat, scen, cfg, fp_term=fp_term,
-                                    include_control=include_control)
+                                    include_control=include_control,
+                                    point_sampler=point_sampler)
     else:
-        def f(cmd_flat, scen, fp_term=None, include_control=True):
-            del fp_term
+        def f(cmd_flat, scen, fp_term=None, include_control=True,
+              point_sampler=None):
+            del fp_term, point_sampler
             return objective_product(cmd_flat, scen, cfg,
                                      include_control=include_control)
     f.parity = parity

@@ -244,9 +244,16 @@ def sqp_solve(
                 alpha_next = jnp.where(ok, alpha, alpha * 0.5)
                 return (alpha_next, j + 1, ok)
 
+            # Converged lanes accept immediately (ok starts True): under vmap
+            # the backtracking while runs until EVERY lane accepts, and a done
+            # lane sitting at a nonsmooth stationary point otherwise burns the
+            # full budget every remaining outer iteration, dragging the whole
+            # batch through ~16 lockstep merit evaluations it will discard
+            # (round-2 trace: the line-search while was ~1/3 of the warm
+            # step). Its own updates are frozen below regardless.
             alpha, _, ls_ok = jax.lax.while_loop(
                 ls_cond, ls_body, (jnp.asarray(1.0, s.x.dtype), jnp.int32(0),
-                                   jnp.asarray(False))
+                                   s.done)
             )
 
         step_vec = jnp.where(ls_ok, alpha * d, jnp.zeros_like(d))
@@ -290,6 +297,10 @@ def sqp_solve(
         # is the usual culprit) and try once more; second failure terminates —
         # at the nonsmooth kink this is the stationary stop, like SLSQP.
         B_new = jnp.where(ls_ok, B_new, jnp.eye(m, dtype=x_new.dtype))
+        # (Converged lanes need no explicit freeze here: vmap's while_loop
+        # batching rule masks the carry update with the per-lane cond, so a
+        # done lane's state never changes — only its share of in-body compute
+        # is wasted, which the line-search short-circuit above bounds.)
         done = (small_count >= 2) | (s.ls_failed & ~ls_ok)
         return _SqpState(x=x_new, f=f_new, grad=g_new, B=B_new, mu=mu,
                          k=s.k + 1, small_count=small_count, done=done,
@@ -326,7 +337,16 @@ def make_sqp_solver(cfg: MpcConfig, objective, ftol: float | None = None,
     def solve(x0, scen):
         if parity:
             fp_term = parity_footprint_term(scen, cfg)
-            fobj = lambda u: objective(u, scen, fp_term)
+            # Per-solve sampler: hoists the costmap relayout (and, with
+            # solver_costmap_patch > 0, the whole map read) out of the
+            # solver's while loops. Values are bit-identical to
+            # cost_at_world (see ops.costmap.make_point_sampler).
+            from .ops.costmap import make_point_sampler
+
+            sampler = make_point_sampler(
+                scen.costmap, scen.current_pose[0], scen.current_pose[1],
+                cfg.solver_costmap_patch)
+            fobj = lambda u: objective(u, scen, fp_term, point_sampler=sampler)
         else:
             fobj = lambda u: objective(u, scen)
         return sqp_solve(fobj, x0, cfg, ftol=ftol, max_iters=max_iters,

@@ -34,6 +34,10 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--ticks", type=int, default=20)
     ap.add_argument("--latency-reps", type=int, default=50)
+    # Separate (small) count for the profiler-traced device-p99 pass: the
+    # trace ships every device op event back through the tunnel, so its size
+    # — not the compute — bounds this pass.
+    ap.add_argument("--trace-reps", type=int, default=12)
     # 64 cells @ 0.05 m = a 3.2 m local window; also keeps the one-time
     # host->device transfer modest on tunneled devices.
     ap.add_argument("--map-size", type=int, default=64)
@@ -80,6 +84,8 @@ def main() -> None:
     run = sim(sb, args.ticks)
     sync(run.cmds)
     sim_s = time.perf_counter() - t0
+    import sys as _sys
+    print(f"[bench] headline done in {sim_s:.1f}s", file=_sys.stderr)
     solves_per_sec_per_chip = args.batch * args.ticks / sim_s / n_dev
 
     # ---- cold-start batched step (zero warm starts, full solver work) ----
@@ -94,6 +100,7 @@ def main() -> None:
                              sb.costmap, sb.footprint, sb.delta_t)
         sync(out.cmd_vel)
     cold_ms = (time.perf_counter() - t0) / reps * 1e3
+    print(f"[bench] cold done ({cold_ms:.1f} ms/step)", file=_sys.stderr)
 
     # ---- single-robot latency ----
     st1 = eng.init_batch_state(1)
@@ -120,6 +127,35 @@ def main() -> None:
         lats.append(time.perf_counter() - t0)
     rtt_p99_ms = float(np.percentile(np.array(lats) * 1e3, 99))
 
+    # Device-time-only p99 for the same single-robot step, from the
+    # profiler's device lane (host timings through the tunnel are
+    # RTT-dominated; this is what a co-located deployment pays per tick).
+    import tempfile
+
+    from neo_mpc_planner2_tpu.utils.profiling import (
+        device_module_durations_ms, device_trace)
+
+    import sys
+
+    device_p99_ms = None
+    try:
+        print("[bench] tracing device step times...", file=sys.stderr)
+        with tempfile.TemporaryDirectory() as td:
+            with device_trace(td):
+                for _ in range(args.trace_reps):
+                    o = eng.batch_step(st, *a1)
+                    sync(o.cmd_vel)
+            print("[bench] parsing trace...", file=sys.stderr)
+            mods = device_module_durations_ms(td)
+        if mods:
+            # The step module executes once per call -> pick the jit_* module
+            # with the most executions and drop the first (warm-up noise).
+            durs = max(mods.values(), key=len)[1:]
+            if durs:
+                device_p99_ms = float(np.percentile(np.array(durs), 99))
+    except Exception as e:  # profiling is best-effort; the line must print
+        print(f"[bench] device trace failed: {e!r}", file=sys.stderr)
+
     mean_goal_dist = float(jnp.mean(run.goal_dist[:, -1]))
     print(json.dumps({
         "metric": "MPC solves/sec/chip (horizon 0.8s, 3 steps, closed loop)",
@@ -132,6 +168,8 @@ def main() -> None:
         "cold_batch_step_ms": round(cold_ms, 2),
         "single_robot_tick_ms": round(pipelined_ms, 3),
         "blocking_rtt_p99_ms": round(rtt_p99_ms, 2),
+        "device_p99_ms": (round(device_p99_ms, 3)
+                          if device_p99_ms is not None else None),
         "mean_final_goal_dist_m": round(mean_goal_dist, 3),
     }))
 

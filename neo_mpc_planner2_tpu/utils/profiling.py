@@ -17,7 +17,8 @@ from typing import Deque, Dict
 
 import numpy as np
 
-__all__ = ["device_trace", "Timer", "RateTracker"]
+__all__ = ["device_trace", "device_module_durations_ms", "Timer",
+           "RateTracker"]
 
 
 @contextlib.contextmanager
@@ -29,6 +30,45 @@ def device_trace(logdir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def device_module_durations_ms(logdir: str) -> Dict[str, list]:
+    """Extract per-execution DEVICE durations of jitted modules from a
+    jax.profiler trace directory (written by `device_trace`).
+
+    Why: on remote-tunneled backends every host-side timing includes the
+    transport RTT; the profiler's device lane is the only honest record of
+    what the chip itself spends per step. Used by bench.py to report
+    `device_p99_ms` alongside the (transport-dominated) blocking RTT.
+
+    Returns {module_name: [duration_ms, ...]} for every event named `jit_*`
+    found on a device-side lane (pid whose process_name mentions the device),
+    durations in chronological order. Empty dict if the trace has no device
+    lane (e.g. CPU backend) or no jit module events.
+    """
+    import glob
+    import gzip
+    import json
+
+    paths = glob.glob(f"{logdir}/plugins/profile/*/*.trace.json.gz")
+    if not paths:
+        return {}
+    with gzip.open(sorted(paths)[-1]) as f:
+        tr = json.load(f)
+    events = tr.get("traceEvents", [])
+    device_pids = set()
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pname = str(e.get("args", {}).get("name", ""))
+            if "TPU" in pname or "/device:" in pname or "GPU" in pname:
+                device_pids.add(e.get("pid"))
+    out: Dict[str, list] = {}
+    for e in events:
+        if (e.get("ph") == "X" and e.get("pid") in device_pids
+                and str(e.get("name", "")).startswith("jit_")):
+            out.setdefault(e["name"], []).append(
+                (float(e.get("ts", 0.0)), float(e.get("dur", 0.0)) / 1e3))
+    return {k: [d for _, d in sorted(v)] for k, v in out.items()}
 
 
 class Timer:

@@ -67,7 +67,11 @@ def main() -> None:
         min_vel_x=-0.7, min_vel_y=-0.7, min_vel_theta=-0.7,
         max_vel_x=0.7, max_vel_y=0.7, max_vel_trans=0.7, max_vel_theta=0.7,
         w_trans=0.82, w_orient=0.5, w_control=0.05, w_terminal=0.05,
-        w_costmap=0.05, w_footprint=0.0,
+        # Library/reference default footprint weight: with w_footprint=0 XLA
+        # constant-folds the (per-solve constant) parity footprint term away
+        # entirely, so the bench would not pay for the footprint evaluation
+        # the reference pays on every solve. 2000.0 keeps it live.
+        w_costmap=0.05, w_footprint=2000.0,
         costmap_sampling="onehot",
         lookahead_dist_min=0.4, lookahead_dist_max=0.4,
         lookahead_dist_close_to_goal=0.4,
@@ -157,6 +161,10 @@ def main() -> None:
         print(f"[bench] device trace failed: {e!r}", file=sys.stderr)
 
     mean_goal_dist = float(jnp.mean(run.goal_dist[:, -1]))
+    # Fraction of (lane, tick) solves cut by the solver_max_iters cap before
+    # declaring convergence — the price of the cap-8 operating point.
+    unconverged_frac = float(1.0 - jnp.mean(
+        jnp.asarray(run.converged, jnp.float32)))
     print(json.dumps({
         "metric": "MPC solves/sec/chip (horizon 0.8s, 3 steps, closed loop)",
         "value": round(solves_per_sec_per_chip, 1),
@@ -171,6 +179,7 @@ def main() -> None:
         "device_p99_ms": (round(device_p99_ms, 3)
                           if device_p99_ms is not None else None),
         "mean_final_goal_dist_m": round(mean_goal_dist, 3),
+        "unconverged_frac": round(unconverged_frac, 4),
     }))
 
 

@@ -31,6 +31,8 @@ class SimResult(NamedTuple):
     collisions: jnp.ndarray   # (T,) bool predicted-collision latch
     lethal: jnp.ndarray       # (T,) bool plugin hard-stop flag
     goal_dist: jnp.ndarray    # (T,) distance to the plan goal
+    converged: jnp.ndarray    # (T,) bool solver converged this tick
+    solver_iters: jnp.ndarray  # (T,) SQP iterations spent this tick
     final_state: ControlState
 
 
@@ -58,14 +60,17 @@ def simulate_follow_path(
         goal = plan.goal()
         gd = jnp.linalg.norm(new_pose[:2] - goal[:2])
         return (out.state, new_pose, cmd), (new_pose, cmd, out.collision,
-                                            out.lethal, gd)
+                                            out.lethal, gd,
+                                            out.solver_converged,
+                                            out.solver_iters)
 
     init = (init_state(cfg), jnp.asarray(start_pose, jnp.float32),
             jnp.asarray(start_vel, jnp.float32))
-    (fin_state, _, _), (poses, cmds, cols, lethal, gd) = jax.lax.scan(
-        tick, init, None, length=n_ticks)
+    (fin_state, _, _), (poses, cmds, cols, lethal, gd, conv, iters) = \
+        jax.lax.scan(tick, init, None, length=n_ticks)
     return SimResult(poses=poses, cmds=cmds, collisions=cols, lethal=lethal,
-                     goal_dist=gd, final_state=fin_state)
+                     goal_dist=gd, converged=conv, solver_iters=iters,
+                     final_state=fin_state)
 
 
 def batch_simulate(cfg: MpcConfig, scenario_batch, n_ticks: int,

@@ -60,6 +60,24 @@ def _cone_constraints(x: jnp.ndarray, cfg: MpcConfig, max_vel_trans=None):
     return c, J
 
 
+def _tree_sum(terms):
+    """Pairwise (tree) summation of a Python list of same-shape arrays.
+
+    The unrolled factorization's accumulations are its critical path: a
+    left-to-right fold is depth O(m) per entry, and under vmap every lane
+    executes the full chain in lockstep. Pairwise reduction cuts the depth to
+    O(log m) at identical op count (measured +3.5 % end-to-end on the warm
+    batch-4096 solve). Reassociates float adds — same values to ~1e-7, which
+    is inside every parity/golden tolerance.
+    """
+    while len(terms) > 1:
+        nxt = [terms[i] + terms[i + 1] for i in range(0, len(terms) - 1, 2)]
+        if len(terms) % 2:
+            nxt.append(terms[-1])
+        terms = nxt
+    return terms[0]
+
+
 def _chol_inverse(M: jnp.ndarray) -> jnp.ndarray:
     """Exact SPD inverse via fully-unrolled Cholesky + triangular solves.
 
@@ -67,39 +85,44 @@ def _chol_inverse(M: jnp.ndarray) -> jnp.ndarray:
     ~m²/2 fused scalar ops and the two triangular solves into ~m² vector ops —
     all batched elementwise under vmap, no LAPACK custom-calls (jax.scipy's
     cho_factor lowers to a ~3.8 ms custom-call per batched solve on TPU; this
-    unrolled form is pure VPU work).
+    unrolled form is pure VPU work). Inner dot products are tree-summed
+    (_tree_sum) to shorten the fused dependent chain.
     """
     m = M.shape[-1]
     tiny = jnp.asarray(1e-20, M.dtype)
 
-    # Cholesky factor L (lower), unrolled.
+    # Cholesky factor L (lower), unrolled. The diagonal is carried as its
+    # reciprocal square root (hardware rsqrt + multiplies) so the factor
+    # columns and both substitution sweeps never divide — sqrt/div are the
+    # longest-latency VPU ops in this chain, and swapping them for rsqrt+mul
+    # measured +8 % end-to-end on the warm batch-4096 solve.
     L = [[None] * m for _ in range(m)]
+    D = [None] * m  # 1/L[j][j]
     for j in range(m):
-        s = M[..., j, j]
-        for k in range(j):
-            s = s - L[j][k] * L[j][k]
-        L[j][j] = jnp.sqrt(jnp.maximum(s, tiny))
+        prods = [L[j][k] * L[j][k] for k in range(j)]
+        s = M[..., j, j] - _tree_sum(prods) if prods else M[..., j, j]
+        s = jnp.maximum(s, tiny)
+        D[j] = jax.lax.rsqrt(s)
+        L[j][j] = s * D[j]  # == sqrt(s)
         for i in range(j + 1, m):
-            s = M[..., i, j]
-            for k in range(j):
-                s = s - L[i][k] * L[j][k]
-            L[i][j] = s / L[j][j]
+            prods = [L[i][k] * L[j][k] for k in range(j)]
+            si = M[..., i, j] - _tree_sum(prods) if prods else M[..., i, j]
+            L[i][j] = si * D[j]
 
     eye = jnp.eye(m, dtype=M.dtype)
     # Forward substitution L Y = I, row by row (each row is (..., m)).
     Y = [None] * m
     for i in range(m):
-        acc = jnp.broadcast_to(eye[i], M.shape[:-2] + (m,))
-        for k in range(i):
-            acc = acc - L[i][k][..., None] * Y[k]
-        Y[i] = acc / L[i][i][..., None]
+        e = jnp.broadcast_to(eye[i], M.shape[:-2] + (m,))
+        prods = [L[i][k][..., None] * Y[k] for k in range(i)]
+        acc = e - _tree_sum(prods) if prods else e
+        Y[i] = acc * D[i][..., None]
     # Back substitution Lᵀ X = Y.
     X = [None] * m
     for i in reversed(range(m)):
-        acc = Y[i]
-        for k in range(i + 1, m):
-            acc = acc - L[k][i][..., None] * X[k]
-        X[i] = acc / L[i][i][..., None]
+        prods = [L[k][i][..., None] * X[k] for k in range(i + 1, m)]
+        acc = Y[i] - _tree_sum(prods) if prods else Y[i]
+        X[i] = acc * D[i][..., None]
     return jnp.stack(X, axis=-2)
 
 

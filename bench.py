@@ -41,6 +41,9 @@ def main() -> None:
     # 64 cells @ 0.05 m = a 3.2 m local window; also keeps the one-time
     # host->device transfer modest on tunneled devices.
     ap.add_argument("--map-size", type=int, default=64)
+    # Total closed-loop horizon for the trajectory-quality pass (run in
+    # --ticks-sized segments reusing the headline executable).
+    ap.add_argument("--quality-ticks", type=int, default=160)
     args = ap.parse_args()
 
     import jax
@@ -79,21 +82,48 @@ def main() -> None:
     n_dev = len(jax.devices())
 
     # ---- headline: sustained closed-loop throughput ----
+    # One executable with an explicit (state, pose, vel) carry: the headline
+    # times it from a cold carry; the quality pass below then CHAINS it to a
+    # longer horizon without a second compile (tunneled-backend compiles are
+    # tens of seconds).
     sb = make_scenario_batch(cfg, args.batch, seed=0, map_size=args.map_size,
                              plan_points=64)
-    sim = jax.jit(lambda b, t: batch_simulate(cfg, b, t), static_argnums=1)
-    run = sim(sb, args.ticks)
+    sim = jax.jit(
+        lambda b, st, pose, vel, t: batch_simulate(cfg, b, t,
+                                                   init=(st, pose, vel)),
+        static_argnums=4)
+    eng0 = mpc.MpcEngine(cfg)
+    cold = (eng0.init_batch_state(args.batch), sb.robot_pose, sb.current_vel)
+    run = sim(sb, *cold, args.ticks)
     sync(run.cmds)  # compile + first run
     t0 = time.perf_counter()
-    run = sim(sb, args.ticks)
+    run = sim(sb, *cold, args.ticks)
     sync(run.cmds)
     sim_s = time.perf_counter() - t0
     import sys as _sys
     print(f"[bench] headline done in {sim_s:.1f}s", file=_sys.stderr)
     solves_per_sec_per_chip = args.batch * args.ticks / sim_s / n_dev
 
+    # ---- trajectory quality: extend the SAME compiled loop to a horizon
+    # long enough for plan-following to actually play out (the 20-tick
+    # headline moves the robots ~0.2 m; at 160 ticks ≈ 5.3 s of 30 Hz sim
+    # the fleet closes ~2 m scenario distances), then report how many lanes
+    # reached their goal.
+    carry, q_run = (run.final_state, run.poses[:, -1], run.cmds[:, -1]), run
+    quality_ticks = args.ticks
+    while quality_ticks < args.quality_ticks:
+        q_run = sim(sb, *carry, args.ticks)
+        carry = (q_run.final_state, q_run.poses[:, -1], q_run.cmds[:, -1])
+        quality_ticks += args.ticks
+    final_dist = q_run.goal_dist[:, -1]
+    sync(final_dist)
+    goal_reached_frac = float(jnp.mean(final_dist < 0.10))
+    final_dist_p50 = float(jnp.percentile(final_dist, 50))
+    print(f"[bench] quality pass done ({quality_ticks} ticks)",
+          file=_sys.stderr)
+
     # ---- cold-start batched step (zero warm starts, full solver work) ----
-    eng = mpc.MpcEngine(cfg)
+    eng = eng0
     out = eng.batch_step(sb.state, sb.plan, sb.robot_pose, sb.current_vel,
                          sb.costmap, sb.footprint, sb.delta_t)
     sync(out.cmd_vel)
@@ -160,7 +190,6 @@ def main() -> None:
     except Exception as e:  # profiling is best-effort; the line must print
         print(f"[bench] device trace failed: {e!r}", file=sys.stderr)
 
-    mean_goal_dist = float(jnp.mean(run.goal_dist[:, -1]))
     # Fraction of (lane, tick) solves cut by the solver_max_iters cap before
     # declaring convergence — the price of the cap-8 operating point.
     unconverged_frac = float(1.0 - jnp.mean(
@@ -178,7 +207,9 @@ def main() -> None:
         "blocking_rtt_p99_ms": round(rtt_p99_ms, 2),
         "device_p99_ms": (round(device_p99_ms, 3)
                           if device_p99_ms is not None else None),
-        "mean_final_goal_dist_m": round(mean_goal_dist, 3),
+        "quality_ticks": quality_ticks,
+        "goal_reached_frac": round(goal_reached_frac, 4),
+        "final_goal_dist_p50_m": round(final_dist_p50, 3),
         "unconverged_frac": round(unconverged_frac, 4),
     }))
 

@@ -134,6 +134,18 @@ class MpcConfig:
     # MUST satisfy h >= required_patch_halfwidth(cfg, resolution) — validated
     # by the host-side entry points that see concrete resolutions.
     solver_costmap_patch: int = 0
+    # Lockstep-tail compaction for the BATCHED solve paths (MpcEngine
+    # .batch_step / batch_simulate): after `solver_compact_after` full-batch
+    # SQP iterations, if at most ceil(B·solver_compact_frac) lanes are still
+    # unconverged, gather them into a compact sub-batch and run the remaining
+    # iterations only there (sqp.make_sqp_solver_batched). Identical per-lane
+    # math — values equal to ~1e-6 (XLA fusion reassociation), iteration
+    # counts exact; 0 disables. Applied only when the batch is at least
+    # `solver_compact_min_batch` (below that the tail is cheaper than the
+    # gather/scatter plumbing).
+    solver_compact_after: int = 4
+    solver_compact_frac: float = 0.25
+    solver_compact_min_batch: int = 256
     # Compatibility quirks toggle.
     compat: CompatConfig = dataclasses.field(default_factory=CompatConfig)
 

@@ -27,7 +27,8 @@ from .ops.pursuit import Plan, pursuit_tick
 from .ops.rollout import rollout
 
 
-__all__ = ["ControlState", "StepResult", "init_state", "solve_step", "controller_step", "MpcEngine"]
+__all__ = ["ControlState", "StepResult", "init_state", "solve_step",
+           "controller_step", "make_batched_controller_step", "MpcEngine"]
 
 
 @flax.struct.dataclass
@@ -84,36 +85,28 @@ def _shift_warm_start(x: jnp.ndarray, n: int) -> jnp.ndarray:
     return shifted.reshape(-1)
 
 
-def solve_step(
-    cfg: MpcConfig,
-    state: ControlState,
-    scen: Scenario,
-    delta_t: jnp.ndarray,
-    *,
-    parity: bool = True,
-    solver=None,
-) -> StepResult:
-    """The optimization-server half of the tick (py:349-403), pure.
-
-    delta_t: wall-clock seconds since the previous tick — the reference derives
-    it from time.time() (py:369-371); under jit it is an explicit input.
-    """
-    n = cfg.control_steps
-
-    # --- new-goal reset (py:357-361) ---
+def _pre_solve(cfg: MpcConfig, state: ControlState, scen: Scenario):
+    """New-goal reset (py:357-361): returns (guess, last_control, waiting_time)
+    — the solver warm start and the post-processing context for this tick."""
     same_goal = state.has_old_goal & jnp.all(state.old_goal == scen.goal_pose)
     guess = jnp.where(same_goal, state.initial_guess, jnp.zeros_like(state.initial_guess))
     last_control = jnp.where(same_goal, state.last_control, jnp.zeros_like(state.last_control))
     waiting_time = jnp.where(same_goal, state.waiting_time, 0.0)
+    return guess, last_control, waiting_time
 
-    # --- solve (py:363-364) ---
-    if solver is None:
-        # SQP is the SLSQP-parity solver (sqp.py); the prox-FISTA path
-        # (solver.py) serves the smooth product objective.
-        from .sqp import make_sqp_solver
 
-        solver = make_sqp_solver(cfg, make_objective(cfg, parity=parity))
-    res = solver(guess, scen)
+def _post_solve(
+    cfg: MpcConfig,
+    state: ControlState,
+    scen: Scenario,
+    delta_t: jnp.ndarray,
+    res,
+    last_control: jnp.ndarray,
+    waiting_time: jnp.ndarray,
+) -> StepResult:
+    """Everything after the solve (py:365-403): visualization, low-pass,
+    collision/stuck logic, acceleration clamp, state persistence."""
+    n = cfg.control_steps
 
     # --- local-plan visualization (py:365 → publishLocalPlan py:271-310):
     # the RAW solution re-integrated from the current pose (correct TF yaw),
@@ -192,6 +185,34 @@ def solve_step(
     )
 
 
+def solve_step(
+    cfg: MpcConfig,
+    state: ControlState,
+    scen: Scenario,
+    delta_t: jnp.ndarray,
+    *,
+    parity: bool = True,
+    solver=None,
+) -> StepResult:
+    """The optimization-server half of the tick (py:349-403), pure.
+
+    delta_t: wall-clock seconds since the previous tick — the reference derives
+    it from time.time() (py:369-371); under jit it is an explicit input.
+    """
+    guess, last_control, waiting_time = _pre_solve(cfg, state, scen)
+
+    # --- solve (py:363-364) ---
+    if solver is None:
+        # SQP is the SLSQP-parity solver (sqp.py); the prox-FISTA path
+        # (solver.py) serves the smooth product objective.
+        from .sqp import make_sqp_solver
+
+        solver = make_sqp_solver(cfg, make_objective(cfg, parity=parity))
+    res = solver(guess, scen)
+    return _post_solve(cfg, state, scen, delta_t, res, last_control,
+                       waiting_time)
+
+
 def controller_step(
     cfg: MpcConfig,
     state: ControlState,
@@ -216,6 +237,15 @@ def controller_step(
     bounds) applied to the solver box/cone and the acceleration clamp without
     retracing.
     """
+    pr, scen, state = _tick_pre(cfg, state, plan, robot_pose, current_vel,
+                                costmap, base_footprint, limits)
+    out = solve_step(cfg, state, scen, delta_t, parity=parity, solver=solver)
+    return _tick_post(pr, state, out)
+
+
+def _tick_pre(cfg, state, plan, robot_pose, current_vel, costmap,
+              base_footprint, limits):
+    """Plugin-side geometry + hysteresis-state update for one tick."""
     pr = pursuit_tick(
         cfg, plan, state.plan_start, state.slow_down, robot_pose, costmap, base_footprint
     )
@@ -229,16 +259,19 @@ def controller_step(
         switch_opt=pr.closer_to_goal,
         limits=limits,
     )
-    # The reference throws BEFORE the optimizer service call on both plugin
-    # gates — empty transformed plan (cpp:130-132, after the cpp:127 prefix
-    # erase but before the hysteresis update) and the lethal footprint
-    # (cpp:234-236, after the hysteresis update) — so the server state
-    # (initial_guess, last_control, waiting_time, old_goal) is untouched on
-    # those ticks. Mirror that: run the solve unconditionally (fused graph),
-    # then discard its state writes when a gate fired.
     slow_down_new = jnp.where(pr.plan_empty, state.slow_down, pr.slow_down)
-    state = state.replace(slow_down=slow_down_new, plan_start=pr.new_start)
-    out = solve_step(cfg, state, scen, delta_t, parity=parity, solver=solver)
+    return pr, scen, state.replace(slow_down=slow_down_new,
+                                   plan_start=pr.new_start)
+
+
+def _tick_post(pr, state: ControlState, out: StepResult) -> StepResult:
+    """Plugin-gate merge: the reference throws BEFORE the optimizer service
+    call on both plugin gates — empty transformed plan (cpp:130-132, after the
+    cpp:127 prefix erase but before the hysteresis update) and the lethal
+    footprint (cpp:234-236, after the hysteresis update) — so the server state
+    (initial_guess, last_control, waiting_time, old_goal) is untouched on
+    those ticks. Mirror that: the solve ran unconditionally (fused graph);
+    discard its state writes when a gate fired."""
     skip = pr.lethal | pr.plan_empty
     kept_state = jax.tree.map(lambda pre, post: jnp.where(skip, pre, post),
                               state, out.state)
@@ -253,6 +286,46 @@ def controller_step(
     )
 
 
+def make_batched_controller_step(cfg: MpcConfig, parity: bool = True,
+                                 solver_batch=None):
+    """Build the batched full-tick function with lockstep-tail compaction.
+
+    Functionally identical to vmap(controller_step) — same per-lane math, same
+    signature with a leading batch axis on every argument — but the solve runs
+    through sqp.make_sqp_solver_batched, which re-batches straggler lanes into
+    a compact sub-batch after cfg.solver_compact_after iterations instead of
+    dragging the whole batch through the lockstep tail (values match to ~1e-6
+    float-fusion reassociation when the compact branch fires; see sqp.py). This is the batch path
+    used by MpcEngine.batch_step and simulation.batch_simulate; the sharded
+    fleet path (parallel.ShardedEngine) keeps plain vmap so the gather/scatter
+    never crosses shard boundaries.
+    """
+    if solver_batch is None:
+        from .sqp import make_sqp_solver_batched
+
+        solver_batch = make_sqp_solver_batched(
+            cfg, make_objective(cfg, parity=parity))
+
+    def step(state, plan, robot_pose, current_vel, costmap, footprint,
+             delta_t, limits=None):
+        def pre(st, p, rp, cv, cm, fp, lim):
+            pr, scen, st2 = _tick_pre(cfg, st, p, rp, cv, cm, fp, lim)
+            guess, last_control, waiting_time = _pre_solve(cfg, st2, scen)
+            return pr, scen, st2, guess, last_control, waiting_time
+
+        pr, scen, st2, guess, lc, wt = jax.vmap(pre)(
+            state, plan, robot_pose, current_vel, costmap, footprint, limits)
+        res = solver_batch(guess, scen)
+
+        def post(pr, scen, st2, dt, res, lc, wt):
+            out = _post_solve(cfg, st2, scen, dt, res, lc, wt)
+            return _tick_post(pr, st2, out)
+
+        return jax.vmap(post)(pr, scen, st2, delta_t, res, lc, wt)
+
+    return step
+
+
 class MpcEngine:
     """Convenience wrapper: jitted single-robot and batched steps.
 
@@ -265,15 +338,9 @@ class MpcEngine:
         self.cfg = cfg
         self.parity = parity
 
-        def _step(state, plan, robot_pose, current_vel, costmap, footprint,
-                  delta_t, limits=None):
-            return controller_step(
-                cfg, state, plan, robot_pose, current_vel, costmap, footprint,
-                delta_t, parity=parity, limits=limits,
-            )
-
-        # vmap over every per-scenario argument; config is closed over.
-        self._batch_step = jax.jit(jax.vmap(_step))
+        # Batched full tick with lockstep-tail compaction (identical per-lane
+        # math to vmap(controller_step); see make_batched_controller_step).
+        self._batch_step = jax.jit(make_batched_controller_step(cfg, parity))
         # The single-robot path routes through the batch-1 vmapped executable:
         # identical math, but the unbatched scalar program triggers an XLA-TPU
         # compile-time pathology (minutes) that the vmapped one does not.

@@ -74,12 +74,52 @@ def simulate_follow_path(
 
 
 def batch_simulate(cfg: MpcConfig, scenario_batch, n_ticks: int,
-                   parity: bool = True) -> SimResult:
-    """vmap simulate_follow_path over a ScenarioBatch (scenarios.py)."""
-    def one(plan, cm, fp, pose, vel):
-        return simulate_follow_path(cfg, plan, cm, fp, pose, vel, n_ticks,
-                                    parity=parity)
+                   parity: bool = True, init=None) -> SimResult:
+    """Closed-loop sim over a ScenarioBatch (scenarios.py), batch-first.
+
+    Structured as lax.scan over the BATCHED tick (make_batched_controller_step)
+    rather than vmap over per-lane scans: identical per-lane math, but the
+    solver's lockstep-tail compaction needs the batch axis visible inside each
+    tick. Output leaves keep the (B, T, ...) layout of the original
+    vmap-of-scan formulation.
+
+    init: optional (state, pose, vel) carry from a previous segment (e.g. the
+    SimResult's final_state + poses[:, -1] + cmds[:, -1]), letting callers
+    extend a run without recompiling for a larger static n_ticks.
+    """
+    from .engine import make_batched_controller_step
 
     sb = scenario_batch
-    return jax.vmap(one)(sb.plan, sb.costmap, sb.footprint, sb.robot_pose,
-                         sb.current_vel)
+    step = make_batched_controller_step(cfg, parity=parity)
+    batch = sb.robot_pose.shape[0]
+    dt = jnp.float32(cfg.control_interval)
+    dts = jnp.full((batch,), dt)
+    goals = jax.vmap(lambda p: p.goal())(sb.plan)
+
+    if init is None:
+        state0 = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (batch,) + x.shape), init_state(cfg))
+        pose0 = jnp.asarray(sb.robot_pose, jnp.float32)
+        vel0 = jnp.asarray(sb.current_vel, jnp.float32)
+    else:
+        state0, pose0, vel0 = init
+
+    def tick(carry, _):
+        state, pose, vel = carry
+        out = step(state, sb.plan, pose, vel, sb.costmap, sb.footprint, dts)
+        cmd = out.cmd_vel
+        new_pose = jax.vmap(lambda c, p: rollout(c[None, :], dt, p)[0])(cmd, pose)
+        gd = jnp.linalg.norm(new_pose[:, :2] - goals[:, :2], axis=-1)
+        return (out.state, new_pose, cmd), (new_pose, cmd, out.collision,
+                                            out.lethal, gd,
+                                            out.solver_converged,
+                                            out.solver_iters)
+
+    (fin_state, _, _), outs = jax.lax.scan(
+        tick, (state0, pose0, vel0), None, length=n_ticks)
+    # scan stacks time first: (T, B, ...) -> (B, T, ...).
+    poses, cmds, cols, lethal, gd, conv, iters = jax.tree.map(
+        lambda a: jnp.moveaxis(a, 0, 1), outs)
+    return SimResult(poses=poses, cmds=cmds, collisions=cols, lethal=lethal,
+                     goal_dist=gd, converged=conv, solver_iters=iters,
+                     final_state=fin_state)

@@ -30,11 +30,12 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .config import MpcConfig
 from .solver import SolveResult
 
-__all__ = ["sqp_solve", "make_sqp_solver"]
+__all__ = ["sqp_solve", "make_sqp_solver", "make_sqp_solver_batched"]
 
 
 def _cone_constraints(x: jnp.ndarray, cfg: MpcConfig, max_vel_trans=None):
@@ -187,18 +188,24 @@ class _SqpState(NamedTuple):
     qp: tuple  # ADMM warm-start carry (d, zb, zc, wb, wc)
 
 
-def sqp_solve(
+def _make_sqp(
     f: Callable[[jnp.ndarray], jnp.ndarray],
-    x0: jnp.ndarray,
     cfg: MpcConfig,
     ftol: float | None = None,
-    max_iters: int | None = None,
     qp_iters: int | None = None,
     max_backtracks: int = 16,
     parallel_ls: bool = False,
     limits=None,
-) -> SolveResult:
-    """Minimize f over box ∩ cone from warm start x0 (SLSQP-equivalent).
+):
+    """Build the SQP iteration machinery for one objective: returns
+    (init, run) where init(x0) -> _SqpState evaluates the warm start and
+    run(state, upto_k) continues outer iterations while ~done and k < upto_k.
+
+    Splitting init/run (instead of one closed sqp_solve) is what lets the
+    batched front-end re-batch lanes mid-solve: run(st, k1) on the full batch,
+    gather the still-alive lanes, run(st_sub, max_iters) on the compact batch.
+    Per-lane values are bit-identical however the iterations are grouped —
+    the body touches only lane-local state.
 
     max_backtracks: under vmap every lane pays the slowest lane's backtrack
     count, and at fleet batch sizes some lane is always at the nonsmooth kink,
@@ -208,28 +215,23 @@ def sqp_solve(
     the whole batch.
     """
     ftol = cfg.opt_tolerance if ftol is None else ftol
-    max_iters = cfg.solver_max_iters if max_iters is None else max_iters
     qp_iters = cfg.qp_iters if qp_iters is None else qp_iters
-    m = x0.shape[0]
     val_grad = jax.value_and_grad(f)
 
     n = cfg.control_steps
+    m = 3 * n
     if limits is None:
-        lo = jnp.tile(jnp.array([cfg.min_vel_x, cfg.min_vel_y, cfg.min_vel_theta], x0.dtype), n)
-        hi = jnp.tile(jnp.array([cfg.max_vel_x, cfg.max_vel_y, cfg.max_vel_theta], x0.dtype), n)
+        lo = jnp.tile(jnp.array([cfg.min_vel_x, cfg.min_vel_y, cfg.min_vel_theta], jnp.float32), n)
+        hi = jnp.tile(jnp.array([cfg.max_vel_x, cfg.max_vel_y, cfg.max_vel_theta], jnp.float32), n)
         max_trans = None
     else:
-        lo = jnp.tile(jnp.asarray(limits.vel_lo, x0.dtype), n)
-        hi = jnp.tile(jnp.asarray(limits.vel_hi, x0.dtype), n)
-        max_trans = jnp.asarray(limits.max_vel_trans, x0.dtype)
+        lo = jnp.tile(jnp.asarray(limits.vel_lo, jnp.float32), n)
+        hi = jnp.tile(jnp.asarray(limits.vel_hi, jnp.float32), n)
+        max_trans = jnp.asarray(limits.max_vel_trans, jnp.float32)
 
     def merit(x, mu):
         c, _ = _cone_constraints(x, cfg, max_trans)
         return f(x) + mu * jnp.sum(jnp.maximum(-c, 0.0))
-
-    # Start from the box-clipped warm start (scipy clips x0 into the bounds).
-    x0 = jnp.clip(x0, lo, hi)
-    f0, g0 = val_grad(x0)
 
     def body(s: _SqpState) -> _SqpState:
         c, J = _cone_constraints(s.x, cfg, max_trans)
@@ -329,22 +331,65 @@ def sqp_solve(
                          k=s.k + 1, small_count=small_count, done=done,
                          ls_failed=~ls_ok, qp=qp)
 
-    def cond(s: _SqpState):
-        return (~s.done) & (s.k < max_iters)
+    def init(x0: jnp.ndarray) -> _SqpState:
+        # Start from the box-clipped warm start (scipy clips x0 into bounds).
+        x0 = jnp.clip(jnp.asarray(x0, jnp.float32), lo, hi)
+        f0, g0 = val_grad(x0)
+        zeros_m = jnp.zeros_like(x0)
+        zeros_n = jnp.zeros(n, x0.dtype)
+        return _SqpState(
+            x=x0, f=f0, grad=g0, B=jnp.eye(m, dtype=x0.dtype),
+            mu=jnp.asarray(1.0, x0.dtype), k=jnp.int32(0),
+            small_count=jnp.int32(0),
+            done=jnp.asarray(False), ls_failed=jnp.asarray(False),
+            qp=(zeros_m, zeros_m, zeros_n, zeros_m, zeros_n),
+        )
 
-    zeros_m = jnp.zeros_like(x0)
-    zeros_n = jnp.zeros(n, x0.dtype)
-    init = _SqpState(
-        x=x0, f=f0, grad=g0, B=jnp.eye(m, dtype=x0.dtype),
-        mu=jnp.asarray(1.0, x0.dtype), k=jnp.int32(0),
-        small_count=jnp.int32(0),
-        done=jnp.asarray(False), ls_failed=jnp.asarray(False),
-        qp=(zeros_m, zeros_m, zeros_n, zeros_m, zeros_n),
-    )
-    fin = jax.lax.while_loop(cond, body, init)
+    def run(s: _SqpState, upto_k: int) -> _SqpState:
+        return jax.lax.while_loop(
+            lambda s: (~s.done) & (s.k < upto_k), body, s)
+
+    return init, run
+
+
+def sqp_solve(
+    f: Callable[[jnp.ndarray], jnp.ndarray],
+    x0: jnp.ndarray,
+    cfg: MpcConfig,
+    ftol: float | None = None,
+    max_iters: int | None = None,
+    qp_iters: int | None = None,
+    max_backtracks: int = 16,
+    parallel_ls: bool = False,
+    limits=None,
+) -> SolveResult:
+    """Minimize f over box ∩ cone from warm start x0 (SLSQP-equivalent)."""
+    max_iters = cfg.solver_max_iters if max_iters is None else max_iters
+    init, run = _make_sqp(f, cfg, ftol=ftol, qp_iters=qp_iters,
+                          max_backtracks=max_backtracks,
+                          parallel_ls=parallel_ls, limits=limits)
+    fin = run(init(x0), max_iters)
     # SLSQP reports success both at ftol convergence and when the line search
     # collapses at a (possibly nonsmooth) stationary point.
     return SolveResult(x=fin.x, fun=fin.f, converged=fin.done, iters=fin.k)
+
+
+def _lane_fobj(cfg: MpcConfig, objective, scen):
+    """Per-scenario objective closure with the per-solve hoists applied."""
+    if getattr(objective, "parity", True):
+        from .ops.costmap import make_point_sampler
+        from .ops.objective import parity_footprint_term
+
+        fp_term = parity_footprint_term(scen, cfg)
+        # Per-solve sampler: hoists the costmap relayout (and, with
+        # solver_costmap_patch > 0, the whole map read) out of the
+        # solver's while loops. Values are bit-identical to
+        # cost_at_world (see ops.costmap.make_point_sampler).
+        sampler = make_point_sampler(
+            scen.costmap, scen.current_pose[0], scen.current_pose[1],
+            cfg.solver_costmap_patch)
+        return lambda u: objective(u, scen, fp_term, point_sampler=sampler)
+    return lambda u: objective(u, scen)
 
 
 def make_sqp_solver(cfg: MpcConfig, objective, ftol: float | None = None,
@@ -353,25 +398,9 @@ def make_sqp_solver(cfg: MpcConfig, objective, ftol: float | None = None,
     """objective: callable from ops.objective.make_objective (full objective,
     control term included — the SQP treats it smoothly, like SLSQP's finite
     differences do a.e.). Returns solve(x0, scenario) -> SolveResult."""
-    from .ops.objective import parity_footprint_term
-
-    parity = getattr(objective, "parity", True)
 
     def solve(x0, scen):
-        if parity:
-            fp_term = parity_footprint_term(scen, cfg)
-            # Per-solve sampler: hoists the costmap relayout (and, with
-            # solver_costmap_patch > 0, the whole map read) out of the
-            # solver's while loops. Values are bit-identical to
-            # cost_at_world (see ops.costmap.make_point_sampler).
-            from .ops.costmap import make_point_sampler
-
-            sampler = make_point_sampler(
-                scen.costmap, scen.current_pose[0], scen.current_pose[1],
-                cfg.solver_costmap_patch)
-            fobj = lambda u: objective(u, scen, fp_term, point_sampler=sampler)
-        else:
-            fobj = lambda u: objective(u, scen)
+        fobj = _lane_fobj(cfg, objective, scen)
         return sqp_solve(fobj, x0, cfg, ftol=ftol, max_iters=max_iters,
                          qp_iters=qp_iters,
                          parallel_ls=(cfg.parallel_line_search
@@ -379,3 +408,72 @@ def make_sqp_solver(cfg: MpcConfig, objective, ftol: float | None = None,
                          limits=scen.limits)
 
     return solve
+
+
+def make_sqp_solver_batched(cfg: MpcConfig, objective,
+                            ftol: float | None = None,
+                            max_iters: int | None = None,
+                            qp_iters: int | None = None,
+                            parallel_ls: bool | None = None):
+    """Batched SQP solve with lockstep-tail compaction.
+
+    Under plain vmap the outer while runs until the SLOWEST lane converges —
+    every iteration past the typical warm depth pays full-batch Cholesky +
+    val_grad + ADMM for a handful of straggler lanes (PERF.md: warm solves at
+    batch 4096 are mostly done by ~4 iterations while stragglers run to the
+    cap). This front-end runs `cfg.solver_compact_after` full-batch iterations,
+    then — when at most ceil(B · solver_compact_frac) lanes are still alive —
+    gathers those lanes (solver state + scenario) into a compact sub-batch,
+    finishes only them, and scatters the results back. If more lanes are alive
+    (e.g. a cold start), it falls back to continuing the full batch.
+
+    Per-lane math is identical in every grouping (the SQP body touches only
+    lane-local state; batched while_loop masking freezes done lanes). The
+    full-fallback branch is bit-identical to vmap(sqp_solve); the compact
+    branch compiles a different graph, so XLA fusion can reassociate float
+    ops — values agree to ~1e-6 (inside every parity/golden gate; same policy
+    as the tree-summed Cholesky, PERF.md), with identical iteration counts
+    and convergence flags (tests/test_compact.py).
+
+    Returns solve_batch(x0s, scens) -> batched SolveResult.
+    """
+    max_iters_ = cfg.solver_max_iters if max_iters is None else max_iters
+    pls = cfg.parallel_line_search if parallel_ls is None else parallel_ls
+
+    def lane(scen):
+        fobj = _lane_fobj(cfg, objective, scen)
+        return _make_sqp(fobj, cfg, ftol=ftol, qp_iters=qp_iters,
+                         parallel_ls=pls, limits=scen.limits)
+
+    def solve_batch(x0s, scens):
+        batch = x0s.shape[0]
+        k1 = cfg.solver_compact_after
+        frac = cfg.solver_compact_frac
+        compact_n = int(np.ceil(batch * frac)) if frac > 0 else batch
+        use = (0 < k1 < max_iters_ and 0 < compact_n < batch
+               and batch >= cfg.solver_compact_min_batch)
+
+        st = jax.vmap(lambda x0, sc: lane(sc)[1](lane(sc)[0](x0),
+                                                 k1 if use else max_iters_)
+                      )(x0s, scens)
+        if use:
+            run_to_end = jax.vmap(lambda s, sc: lane(sc)[1](s, max_iters_))
+            alive = (~st.done) & (st.k < max_iters_)
+
+            def compact(_):
+                idx = jnp.nonzero(alive, size=compact_n, fill_value=0)[0]
+                sub_st = jax.tree.map(lambda a: a[idx], st)
+                sub_sc = jax.tree.map(lambda a: a[idx], scens)
+                fin = run_to_end(sub_st, sub_sc)
+                # Duplicate fill indices (lane 0) all scatter the same value:
+                # a done lane's continuation is the identity.
+                return jax.tree.map(lambda full, sub: full.at[idx].set(sub),
+                                    st, fin)
+
+            def full(_):
+                return run_to_end(st, scens)
+
+            st = jax.lax.cond(jnp.sum(alive) <= compact_n, compact, full, None)
+        return SolveResult(x=st.x, fun=st.f, converged=st.done, iters=st.k)
+
+    return solve_batch

@@ -143,8 +143,12 @@ class MpcConfig:
     # counts exact; 0 disables. Applied only when the batch is at least
     # `solver_compact_min_batch` (below that the tail is cheaper than the
     # gather/scatter plumbing).
-    solver_compact_after: int = 4
-    solver_compact_frac: float = 0.25
+    # Defaults tuned on TPU v5e at batch 4096 for the library-default
+    # max_iters=40: k1=8/frac=1/16 runs 197.6k solves/s vs 181.8k uncompacted
+    # (PERF.md). At operating points with max_iters <= solver_compact_after
+    # the compaction auto-disables (no tail to compact).
+    solver_compact_after: int = 8
+    solver_compact_frac: float = 0.0625
     solver_compact_min_batch: int = 256
     # Compatibility quirks toggle.
     compat: CompatConfig = dataclasses.field(default_factory=CompatConfig)

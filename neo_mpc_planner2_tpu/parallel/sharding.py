@@ -84,14 +84,22 @@ class FleetMetrics(NamedTuple):
     mean_cmd_speed: jnp.ndarray
 
 
-def _metrics_from(out) -> FleetMetrics:
+def _metrics_from(out, axes=None) -> FleetMetrics:
+    """Fleet reductions. With `axes` (inside shard_map) the local means are
+    pmean/pmax-reduced over the mesh — equal shard sizes make pmean-of-means
+    the exact global mean; without axes (plain jit) they are global already."""
+    if axes is None:
+        mean, mx = jnp.mean, jnp.max
+    else:
+        mean = lambda x: jax.lax.pmean(jnp.mean(x), axes)
+        mx = lambda x: jax.lax.pmax(jnp.max(x), axes)
     return FleetMetrics(
-        mean_cost=jnp.mean(out.fun),
-        max_iters=jnp.max(out.solver_iters),
-        converged_frac=jnp.mean(out.solver_converged.astype(jnp.float32)),
-        collision_frac=jnp.mean(out.collision.astype(jnp.float32)),
-        lethal_frac=jnp.mean(out.lethal.astype(jnp.float32)),
-        mean_cmd_speed=jnp.mean(jnp.linalg.norm(out.cmd_vel[..., :2], axis=-1)),
+        mean_cost=mean(out.fun),
+        max_iters=mx(out.solver_iters),
+        converged_frac=mean(out.solver_converged.astype(jnp.float32)),
+        collision_frac=mean(out.collision.astype(jnp.float32)),
+        lethal_frac=mean(out.lethal.astype(jnp.float32)),
+        mean_cmd_speed=mean(jnp.linalg.norm(out.cmd_vel[..., :2], axis=-1)),
     )
 
 
@@ -114,18 +122,32 @@ class ShardedEngine:
         self.mesh = mesh if mesh is not None else make_mesh()
         self.parity = parity
 
-        def one(state, plan, pose, vel, cm, fp, dt):
-            return controller_step(cfg, state, plan, pose, vel, cm, fp, dt,
-                                   parity=parity)
+        # shard_map (not GSPMD annotations): each device runs the batched
+        # step on its LOCAL shard, so the solver's lockstep-tail compaction
+        # (sqp.make_sqp_solver_batched) gathers/scatters straggler lanes
+        # shard-locally — no cross-device data movement from the re-batching.
+        # The only collectives are the metric pmean/pmax reductions (ICI
+        # within a host row, DCN across hosts). check_vma=False: the vma
+        # tracker taints lax.scan carries seeded from in-body constants
+        # (rollout's zero pose) even though the body is per-shard pure; the
+        # P() out_spec for the metrics is made true by the pmean/pmax.
+        from ..engine import make_batched_controller_step
+
+        step_local = make_batched_controller_step(cfg, parity)
 
         def batch(state, plans, poses, vels, cms, fps, dts):
-            out = jax.vmap(one)(state, plans, poses, vels, cms, fps, dts)
-            # The only cross-device communication: metric reductions (psum /
-            # all-reduce inserted by XLA over ICI/DCN).
-            return out, _metrics_from(out)
+            out = step_local(state, plans, poses, vels, cms, fps, dts)
+            return out, _metrics_from(out, axes=("host", "chip"))
 
+        axes = P(("host", "chip"))
+        sharded = jax.shard_map(
+            batch, mesh=self.mesh,
+            in_specs=(axes,) * 7,
+            out_specs=(axes, P()),
+            check_vma=False,
+        )
         donate = (0,) if donate_state else ()
-        self._step = jax.jit(batch, donate_argnums=donate)
+        self._step = jax.jit(sharded, donate_argnums=donate)
 
     def init_state(self, batch: int) -> ControlState:
         st = init_state(self.cfg)

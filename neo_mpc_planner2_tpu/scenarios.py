@@ -63,6 +63,7 @@ def make_scenario_batch(
     plan_points: int = 64,
     lethal_threshold: float | None = None,
     pose_jitter: float = 0.05,
+    plan_length_range: tuple[float, float] = (1.5, 3.0),
 ) -> ScenarioBatch:
     """Random curved plans + Gaussian-blob obstacle maps + perturbed starts.
 
@@ -74,12 +75,17 @@ def make_scenario_batch(
     (point ×1000 py:257-260, footprint term py:262-263) are reachable.
     pose_jitter: start-pose spread; widen it to push some footprints against
     obstacles.
+    plan_length_range: arc-length bounds. The default produces goals that can
+    exceed a small fixed map window (a real deployment's local costmap ROLLS
+    with the robot; this sim's map is static) — for goal-REACHING studies pick
+    lengths that keep plan + footprint inside the window, e.g. (0.7, 1.1) on
+    a 3.2 m map.
     """
     rng = np.random.default_rng(seed)
 
     # --- plans: arcs with random curvature/length, starting at the origin ---
     curv = rng.uniform(-0.6, 0.6, batch)
-    length = rng.uniform(1.5, 3.0, batch)
+    length = rng.uniform(*plan_length_range, batch)
     s = np.linspace(0.0, 1.0, plan_points)[None, :] * length[:, None]  # (B, P)
     yaw = curv[:, None] * s
     safe_curv = np.where(np.abs(curv[:, None]) > 1e-6, curv[:, None], 1.0)

@@ -126,8 +126,16 @@ def main() -> None:
             break
     final_dist = q_run.goal_dist[:, -1]
     sync(final_dist)
-    goal_reached_frac = float(jnp.mean(final_dist < 0.10))
+    reached = final_dist < 0.10
+    goal_reached_frac = float(jnp.mean(reached))
     final_dist_p50 = float(jnp.percentile(final_dist, 50))
+    # Of the lanes that did NOT reach: how many ended stopped by a safety
+    # latch (predicted collision / lethal footprint)? Those are obstacle-
+    # blocked corridors, not plan-following failures.
+    blocked = q_run.collisions[:, -1] | q_run.lethal[:, -1]
+    n_unreached = float(jnp.sum(~reached))
+    unreached_blocked_frac = float(
+        jnp.sum(blocked & ~reached) / jnp.maximum(n_unreached, 1.0))
     print(f"[bench] quality pass done ({quality_ticks} ticks)",
           file=_sys.stderr)
 
@@ -237,6 +245,9 @@ def main() -> None:
         "quality_ticks": quality_ticks,
         "goal_reached_frac": round(goal_reached_frac, 4),
         "final_goal_dist_p50_m": round(final_dist_p50, 3),
+        # Of non-reaching lanes, the fraction stopped by a safety latch
+        # (obstacle-blocked corridor) rather than still en route.
+        "unreached_blocked_frac": round(unreached_blocked_frac, 4),
         "unconverged_frac": round(unconverged_frac, 4),
         # The shipped library default (max_iters=40, tail compaction):
         # every lane converges; no iteration-cap cut.

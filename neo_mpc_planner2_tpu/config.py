@@ -150,6 +150,13 @@ class MpcConfig:
     solver_compact_after: int = 8
     solver_compact_frac: float = 0.0625
     solver_compact_min_batch: int = 256
+    # Armijo line-search wave width: candidates 2^-j evaluated per merit
+    # evaluation. >1 amortizes the batched costmap gather's fixed overhead
+    # (~0.125 ms at batch 4096 whether it fetches 3 or 3·K points) over K
+    # halving candidates; selected alphas are bit-identical to sequential
+    # backtracking (first accepted candidate in halving order). 1 = classic
+    # sequential halving.
+    solver_ls_wave: int = 1
     # Compatibility quirks toggle.
     compat: CompatConfig = dataclasses.field(default_factory=CompatConfig)
 

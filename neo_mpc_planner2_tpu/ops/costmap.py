@@ -283,6 +283,11 @@ def make_point_sampler(cm: Costmap, cx, cy, patch_halfwidth: int):
     exact gather semantics of cost_at_world.
     """
     if patch_halfwidth > 0:
+        # One-hot contraction on the window. A flat-gather variant of this
+        # path was also measured (round 2): SLOWER still (202k vs 302k
+        # solves/s end-to-end) and its batched small-minor-dim gather hit a
+        # multi-minute compile on this backend — the full-map flat gather
+        # below remains the fastest sampler at every measured batch.
         patch = extract_patch(cm, cx, cy, patch_halfwidth)
 
         def sample(wx, wy):

@@ -26,11 +26,15 @@ All loops are `lax.while_loop`/`lax.scan` with static bounds.
 
 from __future__ import annotations
 
+import functools
+import os
 from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from .config import MpcConfig
 from .solver import SolveResult
@@ -79,52 +83,159 @@ def _tree_sum(terms):
     return terms[0]
 
 
-def _chol_inverse(M: jnp.ndarray) -> jnp.ndarray:
-    """Exact SPD inverse via fully-unrolled Cholesky + triangular solves.
+def _chol_inverse_unrolled(E, m: int):
+    """Fully-unrolled SPD inverse at scalar granularity via an element
+    accessor: E(i, j) returns the (i, j) matrix element as an array of any
+    (broadcast-compatible) shape; all arithmetic is elementwise on that shape.
+    Returns X as an m×m list-of-lists of element arrays.
 
-    m = 3·control_steps is tiny and static, so the factorization unrolls into
-    ~m²/2 fused scalar ops and the two triangular solves into ~m² vector ops —
-    all batched elementwise under vmap, no LAPACK custom-calls (jax.scipy's
-    cho_factor lowers to a ~3.8 ms custom-call per batched solve on TPU; this
-    unrolled form is pure VPU work). Inner dot products are tree-summed
-    (_tree_sum) to shorten the fused dependent chain.
+    The factorization unrolls into ~m³/2 elementwise ops; the diagonal is
+    carried as its reciprocal square root (hardware rsqrt + multiplies) so
+    the factor and both substitution sweeps never divide. Scalar granularity
+    also exposes structure a row-vector formulation couldn't: L⁻¹ is lower
+    triangular (its c > i entries are skipped, not multiplied through) and
+    the result is symmetric (only the lower triangle is back-substituted;
+    the upper mirrors it). Inner dot products are tree-summed (_tree_sum) to
+    shorten the dependent chain under lockstep vmap.
     """
-    m = M.shape[-1]
-    tiny = jnp.asarray(1e-20, M.dtype)
+    tiny = 1e-20
 
-    # Cholesky factor L (lower), unrolled. The diagonal is carried as its
-    # reciprocal square root (hardware rsqrt + multiplies) so the factor
-    # columns and both substitution sweeps never divide — sqrt/div are the
-    # longest-latency VPU ops in this chain, and swapping them for rsqrt+mul
-    # measured +8 % end-to-end on the warm batch-4096 solve.
     L = [[None] * m for _ in range(m)]
     D = [None] * m  # 1/L[j][j]
     for j in range(m):
         prods = [L[j][k] * L[j][k] for k in range(j)]
-        s = M[..., j, j] - _tree_sum(prods) if prods else M[..., j, j]
+        s = E(j, j) - _tree_sum(prods) if prods else E(j, j)
         s = jnp.maximum(s, tiny)
         D[j] = jax.lax.rsqrt(s)
         L[j][j] = s * D[j]  # == sqrt(s)
         for i in range(j + 1, m):
             prods = [L[i][k] * L[j][k] for k in range(j)]
-            si = M[..., i, j] - _tree_sum(prods) if prods else M[..., i, j]
+            si = E(i, j) - _tree_sum(prods) if prods else E(i, j)
             L[i][j] = si * D[j]
 
-    eye = jnp.eye(m, dtype=M.dtype)
-    # Forward substitution L Y = I, row by row (each row is (..., m)).
-    Y = [None] * m
+    # Forward: Y = L⁻¹ (lower triangular), entries (i, c) with c ≤ i.
+    Y = [[None] * (i + 1) for i in range(m)]
     for i in range(m):
-        e = jnp.broadcast_to(eye[i], M.shape[:-2] + (m,))
-        prods = [L[i][k][..., None] * Y[k] for k in range(i)]
-        acc = e - _tree_sum(prods) if prods else e
-        Y[i] = acc * D[i][..., None]
-    # Back substitution Lᵀ X = Y.
-    X = [None] * m
+        Y[i][i] = D[i]
+        for c in range(i):
+            Y[i][c] = -_tree_sum([L[i][k] * Y[k][c]
+                                  for k in range(c, i)]) * D[i]
+    # Backward: X = M⁻¹ = L⁻ᵀ Y, symmetric — lower triangle only, mirrored.
+    X = [[None] * m for _ in range(m)]
     for i in reversed(range(m)):
-        prods = [L[k][i][..., None] * X[k] for k in range(i + 1, m)]
-        acc = Y[i] - _tree_sum(prods) if prods else Y[i]
-        X[i] = acc * D[i][..., None]
-    return jnp.stack(X, axis=-2)
+        for c in range(i + 1):
+            prods = [L[k][i] * X[k][c] for k in range(i + 1, m)]
+            acc = Y[i][c] - _tree_sum(prods) if prods else Y[i][c]
+            X[i][c] = acc * D[i]
+            X[c][i] = X[i][c]
+    return X
+
+
+def _chol_inverse_lane_minor(Mt: jnp.ndarray) -> jnp.ndarray:
+    """Unrolled SPD inverse on a lane-minor element view: Mt has shape
+    (m, m, *batch) so element (i, j) is the (*batch,) vector Mt[i, j].
+    Returns the inverse in the same layout."""
+    m = Mt.shape[0]
+    X = _chol_inverse_unrolled(lambda i, j: Mt[i, j], m)
+    flat = jnp.stack([X[i][c] for i in range(m) for c in range(m)], axis=0)
+    return flat.reshape((m, m) + Mt.shape[2:])
+
+
+def _spd_inv_kernel(m_ref, out_ref, *, m: int):
+    """Pallas body: one (m², BLK) lane-minor tile in VMEM -> its inverse.
+
+    Element (i, j) of lane b is row i·m+j, column b — every read is a
+    contiguous (1, BLK) sublane slice, every op a (1, BLK) VPU op, and the
+    whole ~m³/2-op inverse fuses between one HBM load and one store.
+    """
+    X = _chol_inverse_unrolled(
+        lambda i, j: m_ref[i * m + j: i * m + j + 1, :], m)
+    out_ref[...] = jnp.concatenate(
+        [X[i][c] for i in range(m) for c in range(m)], axis=0)
+
+
+def _chol_inverse_pallas_batched(M: jnp.ndarray, interpret: bool = False,
+                                 block: int = 512) -> jnp.ndarray:
+    """Batched SPD inverse of M (B, m, m) as ONE fused Pallas kernel over a
+    lane-minor [m², B] view.
+
+    The pallas_call boundary is what makes the lane-minor layout REAL: XLA
+    implements a plain jnp transpose of this buffer as a free layout
+    relabeling (so the element reads in the unrolled solve stay stride-m²
+    gathers across lanes — three kLoop fusions totalling 41 % of the warm
+    SQP tick at batch 4096, round-2 trace in PERF.md — and
+    optimization_barrier doesn't constrain layouts either), but a
+    custom-call operand must be physically row-major: the reshape+transpose
+    below compiles to one relayout copy, after which every element is a
+    dense (B,) vector.
+    """
+    B, m = M.shape[0], M.shape[-1]
+    mm = m * m
+    Mt = M.reshape(B, mm).T  # [m², B]; materialized (pallas operand)
+    blk = min(block, max(128, -(-B // 128) * 128))
+    grid = -(-B // blk)
+    Xt = pl.pallas_call(
+        functools.partial(_spd_inv_kernel, m=m),
+        out_shape=jax.ShapeDtypeStruct((mm, B), jnp.float32),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((mm, blk), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((mm, blk), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(Mt)
+    return Xt.T.reshape(B, m, m)
+
+
+@jax.custom_batching.custom_vmap
+def _chol_inverse(M: jnp.ndarray) -> jnp.ndarray:
+    """Exact SPD inverse via fully-unrolled Cholesky + triangular solves.
+
+    m = 3·control_steps is tiny and static, so the whole inverse unrolls into
+    fused elementwise vector ops — no LAPACK custom-calls (jax.scipy's
+    cho_factor lowers to a ~3.8 ms custom-call per batched solve on TPU).
+
+    The layout is the whole game at fleet batch sizes, and vmap alone gets it
+    wrong: under vmap every intermediate carries the batch axis LEADING, so
+    the unrolled code's per-element reads M[:, i, j] lower to stride-m²
+    gathers (three kLoop fusions totalling 41 % of the warm SQP tick at batch
+    4096 — round-2 trace, PERF.md). The custom_vmap rule below instead pays
+    ONE relayout transpose to a lane-minor (m, m, B) element view, runs the
+    unrolled solve on contiguous (B,) vectors, and transposes back.
+    """
+    Mt = jnp.moveaxis(M, (-2, -1), (0, 1))  # (m, m, *batch)
+    Xt = _chol_inverse_lane_minor(Mt)
+    return jnp.moveaxis(Xt, (0, 1), (-2, -1))
+
+
+def _tpu_backend() -> bool:
+    """True when the default backend is a (possibly tunneled) TPU."""
+    if os.environ.get("NEO_MPC_NO_PALLAS_CHOL"):
+        return False
+    try:
+        plat = jax.devices()[0].platform
+    except Exception:  # backend init failure — let the XLA path handle it
+        return False
+    return plat in ("tpu", "axon")
+
+
+@_chol_inverse.def_vmap
+def _chol_inverse_vmap_rule(axis_size, in_batched, M):
+    del axis_size
+    # Batch threshold: below ~2 lane-tiles the strided-gather cost this
+    # kernel removes is negligible while the per-call kernel overhead is not
+    # (single-robot device p99 measured 0.34 ms via XLA vs 0.91 ms via the
+    # kernel at batch 1); at fleet batches the kernel is +47 % end-to-end.
+    if (M.ndim == 3 and M.dtype == jnp.float32 and M.shape[0] >= 256
+            and _tpu_backend()):
+        return _chol_inverse_pallas_batched(M), True
+    # Non-TPU / nested-batch fallback: mapped axis (0) goes minor, matrix
+    # dims major. (On TPU this alone does NOT fix the layout — XLA relabels
+    # instead of relayouting; see _chol_inverse_pallas_batched.)
+    Mt = jnp.moveaxis(M, (-2, -1, 0), (0, 1, M.ndim - 1))
+    Xt = _chol_inverse_lane_minor(Mt)
+    out = jnp.moveaxis(Xt, (0, 1, Xt.ndim - 1), (-2, -1, 0))
+    return out, True
 
 
 def _qp_admm(B, g, x, c, J, cfg: MpcConfig, iters: int, lo, hi, init=None,
@@ -195,6 +306,7 @@ def _make_sqp(
     qp_iters: int | None = None,
     max_backtracks: int = 16,
     parallel_ls: bool = False,
+    ls_wave: int = 1,
     limits=None,
 ):
     """Build the SQP iteration machinery for one objective: returns
@@ -257,6 +369,39 @@ def _make_sqp(
             ok_mask = phis <= phi0 + 1e-4 * alphas * dphi + 1e-12
             ls_ok = jnp.any(ok_mask)
             alpha = alphas[jnp.argmax(ok_mask)]
+        elif ls_wave > 1:
+            # Wave Armijo: evaluate `ls_wave` consecutive halving candidates
+            # per merit evaluation. The merit cost is dominated by the FIXED
+            # overhead of the batched costmap gather (~0.125 ms at batch 4096
+            # whether it fetches 3 or 12 points — round-2 trace), so one
+            # K-candidate wave costs barely more than one candidate while
+            # covering K sequential trips; under lockstep vmap the while now
+            # runs ceil(trips/K) iterations at the slowest lane. Selection is
+            # the FIRST accepted candidate in halving order — bit-identical
+            # alphas to sequential backtracking.
+            K = ls_wave
+            kf = jnp.arange(K, dtype=s.x.dtype)
+
+            def lsw_cond(carry):
+                alpha, j, ok = carry
+                return (~ok) & (j < max_backtracks)
+
+            def lsw_body(carry):
+                alpha, j, ok = carry
+                alphas = jnp.power(0.5, kf + j.astype(s.x.dtype))
+                cands = s.x[None, :] + alphas[:, None] * d[None, :]
+                phis = jax.vmap(lambda xx: merit(xx, mu))(cands)
+                okm = phis <= phi0 + 1e-4 * alphas * dphi + 1e-12
+                any_ok = jnp.any(okm)
+                sel = alphas[jnp.argmax(okm)]
+                alpha_next = jnp.where(ok, alpha, jnp.where(any_ok, sel, alpha))
+                return (alpha_next, j + K, ok | any_ok)
+
+            # Done lanes accept immediately (ok starts True) — same
+            # short-circuit as the sequential branch below.
+            alpha, _, ls_ok = jax.lax.while_loop(
+                lsw_cond, lsw_body,
+                (jnp.asarray(1.0, s.x.dtype), jnp.int32(0), s.done))
         else:
             def ls_cond(carry):
                 alpha, j, ok = carry
@@ -367,7 +512,8 @@ def sqp_solve(
     max_iters = cfg.solver_max_iters if max_iters is None else max_iters
     init, run = _make_sqp(f, cfg, ftol=ftol, qp_iters=qp_iters,
                           max_backtracks=max_backtracks,
-                          parallel_ls=parallel_ls, limits=limits)
+                          parallel_ls=parallel_ls,
+                          ls_wave=cfg.solver_ls_wave, limits=limits)
     fin = run(init(x0), max_iters)
     # SLSQP reports success both at ftol convergence and when the line search
     # collapses at a (possibly nonsmooth) stationary point.
@@ -443,7 +589,8 @@ def make_sqp_solver_batched(cfg: MpcConfig, objective,
     def lane(scen):
         fobj = _lane_fobj(cfg, objective, scen)
         return _make_sqp(fobj, cfg, ftol=ftol, qp_iters=qp_iters,
-                         parallel_ls=pls, limits=scen.limits)
+                         parallel_ls=pls, ls_wave=cfg.solver_ls_wave,
+                         limits=scen.limits)
 
     def solve_batch(x0s, scens):
         batch = x0s.shape[0]

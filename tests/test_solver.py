@@ -213,6 +213,38 @@ class TestCholInverse:
         got = np.asarray(_chol_inverse(jnp.asarray(d)))
         np.testing.assert_allclose(np.diag(got), 1.0 / np.diag(d), rtol=1e-4)
 
+    def test_pallas_kernel_interpret(self):
+        """The TPU lane-minor Pallas kernel (the batched vmap-rule fast path;
+        sqp._chol_inverse_pallas_batched) against numpy, in interpret mode —
+        including a batch that is not a multiple of the lane block, so the
+        padded tail is exercised, and a non-default matrix size (m=6, i.e.
+        control_steps=2)."""
+        from neo_mpc_planner2_tpu.sqp import _chol_inverse_pallas_batched
+
+        rng = np.random.default_rng(13)
+        for B, m in ((37, 9), (300, 9), (16, 6)):
+            A = rng.normal(size=(B, m, m))
+            M = (A @ np.swapaxes(A, -1, -2)
+                 + np.eye(m) * 2.0).astype(np.float32)
+            got = np.asarray(_chol_inverse_pallas_batched(
+                jnp.asarray(M), interpret=True))
+            want = np.linalg.inv(M)
+            assert np.abs(got - want).max() < 2e-4 * np.abs(want).max()
+
+    def test_vmap_rule_matches_primal_large_batch(self):
+        """The custom_vmap rule (above the 256-lane pallas threshold it would
+        take the kernel path on TPU; on CPU the lane-minor XLA path) agrees
+        with the per-lane primal."""
+        from neo_mpc_planner2_tpu.sqp import _chol_inverse
+
+        rng = np.random.default_rng(14)
+        A = rng.normal(size=(300, 9, 9))
+        M = (A @ np.swapaxes(A, -1, -2) + np.eye(9)).astype(np.float32)
+        got_v = np.asarray(jax.vmap(_chol_inverse)(jnp.asarray(M)))
+        want = np.stack([np.asarray(_chol_inverse(jnp.asarray(M[i])))
+                         for i in range(0, 300, 50)])
+        np.testing.assert_allclose(got_v[::50], want, atol=1e-6)
+
 
 def test_parallel_line_search_identical(cfg, empty_costmap, footprint):
     """cfg.parallel_line_search evaluates the same candidate steps in one

@@ -4,9 +4,11 @@
 // the lethal gate, and request marshalling. Build+run via
 // scripts/build_native.sh test target or scripts/check_native.sh.
 
+#include <atomic>
 #include <cassert>
 #include <cmath>
 #include <cstdio>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -114,6 +116,38 @@ int main() {
 
   nmp_host_destroy(h);
   nmp_host_destroy(h2);
+
+  // Concurrency: a reconfigure/setPlan thread racing the tick thread on ONE
+  // host — the reference's dynamic-parameter callback runs concurrently with
+  // computeVelocityCommands and self-deadlocks on its own mutex
+  // (NeoMpcPlanner.cpp:339 + :352, SURVEY §2.3.4); here every entry point
+  // takes the host mutex. Run under BUILD_FLAVOR=tsan (check_native.sh) to
+  // prove the locking discipline, and under the default build as a smoke.
+  {
+    void* hc = nmp_host_create(&p);
+    nmp_host_set_plan(hc, plan.data(), 50);
+    std::atomic<bool> stop{false};
+    std::thread reconf([&] {
+      nmp_params q{0.3, 0.5, 0.4, 30.0};
+      while (!stop.load(std::memory_order_relaxed)) {
+        nmp_host_set_params(hc, &q);
+        nmp_host_set_plan(hc, plan.data(), 50);
+      }
+    });
+    nmp_request r{};
+    bool tick_ok = true;
+    for (int i = 0; i < 2000 && tick_ok; ++i) {
+      double x = 0.003 * i;
+      nmp_pose pc{x > 1.8 ? 1.8 : x, 0.0, 0.0};
+      const int st = nmp_host_tick(hc, &pc, vel, &cm, fp, 4, &r);
+      tick_ok = (st == 0 || st == 2);
+    }
+    stop.store(true);
+    reconf.join();
+    nmp_host_destroy(hc);
+    CHECK(tick_ok);
+  }
+
   std::printf("native host test OK (%d checks)\n", checks);
   return 0;
 }

@@ -99,12 +99,6 @@ long world_to_cell(double w, double origin, double resolution) {
   return static_cast<long>(std::floor((w - origin) / resolution));
 }
 
-double world_cost(const nmp_costmap& cm, double wx, double wy) {
-  const long mx = world_to_cell(wx, cm.origin_x, cm.resolution);
-  const long my = world_to_cell(wy, cm.origin_y, cm.resolution);
-  return cell_cost(cm, mx, my);
-}
-
 // Max cost along a segment via grid line traversal (the nav2 LineIterator
 // pattern used by FootprintCollisionChecker::lineCost): visit every cell the
 // segment crosses using an Amanatides-Woo style walk.

@@ -10,6 +10,16 @@ cd "$(dirname "$0")/.."
 ./scripts/build_native.sh >/dev/null
 ./neo_mpc_planner2_tpu/native/host_test
 
+# TSan: the test binary's concurrent reconfigure-vs-tick section exercises
+# every mutex path (the reference's param callback self-deadlocks there,
+# SURVEY §2.3.4). Pure C++ — no CPython under TSan.
+BUILD_FLAVOR=tsan ./scripts/build_native.sh >/dev/null
+./neo_mpc_planner2_tpu/native/host_test
+echo "tsan run ok"
+
+# Rebuild release so later stages (and the repo) keep the fast binary.
+./scripts/build_native.sh >/dev/null
+
 for flavor in asan ubsan; do
   BUILD_FLAVOR=$flavor ./scripts/build_native.sh
   LIB="neo_mpc_planner2_tpu/native/libneo_mpc_host_${flavor}.so"

@@ -290,6 +290,12 @@ class _SqpState(NamedTuple):
     x: jnp.ndarray
     f: jnp.ndarray
     grad: jnp.ndarray
+    # BFGS curvature, carried FLAT (m²,): under vmap the batched (B, m, m)
+    # form tiles (m, m) -> (16, 128) on TPU, a 25x padding at m=9 — every
+    # carry copy and BFGS-update select was paying ~25x its useful HBM
+    # traffic (round-2 trace: select_select_fusion alone 0.83 ms/tick at
+    # batch 4096). Flat (B, m²) pads 81 -> 128 only. Consumers reshape to
+    # (m, m) at the two places that need the matrix form.
     B: jnp.ndarray
     mu: jnp.ndarray
     k: jnp.ndarray
@@ -347,7 +353,7 @@ def _make_sqp(
 
     def body(s: _SqpState) -> _SqpState:
         c, J = _cone_constraints(s.x, cfg, max_trans)
-        d, y_cone, qp = _qp_admm(s.B, s.grad, s.x, c, J, cfg, qp_iters, lo, hi,
+        d, y_cone, qp = _qp_admm(s.B.reshape(m, m), s.grad, s.x, c, J, cfg, qp_iters, lo, hi,
                                  init=s.qp)
 
         # Exact-penalty weight: dominate the largest multiplier estimate.
@@ -433,7 +439,7 @@ def _make_sqp(
         # Damped BFGS (Powell) on the accepted step.
         sv = step_vec
         yv = g_new - s.grad
-        Bs = s.B @ sv
+        Bs = s.B.reshape(m, m) @ sv
         sBs = jnp.vdot(sv, Bs)
         sy = jnp.vdot(sv, yv)
         theta = jnp.where(
@@ -446,8 +452,8 @@ def _make_sqp(
         update_ok = ls_ok & (sBs > 1e-16) & (sy > 1e-16)
         B_new = jnp.where(
             update_ok,
-            s.B - jnp.outer(Bs, Bs) / jnp.maximum(sBs, 1e-16)
-            + jnp.outer(yv, yv) / jnp.maximum(sy, 1e-16),
+            s.B - (jnp.outer(Bs, Bs) / jnp.maximum(sBs, 1e-16)
+                   - jnp.outer(yv, yv) / jnp.maximum(sy, 1e-16)).reshape(-1),
             s.B,
         )
 
@@ -466,7 +472,8 @@ def _make_sqp(
         # First line-search failure: reset the BFGS model (a stale/ill-scaled B
         # is the usual culprit) and try once more; second failure terminates —
         # at the nonsmooth kink this is the stationary stop, like SLSQP.
-        B_new = jnp.where(ls_ok, B_new, jnp.eye(m, dtype=x_new.dtype))
+        B_new = jnp.where(ls_ok, B_new,
+                          jnp.eye(m, dtype=x_new.dtype).reshape(-1))
         # (Converged lanes need no explicit freeze here: vmap's while_loop
         # batching rule masks the carry update with the per-lane cond, so a
         # done lane's state never changes — only its share of in-body compute
@@ -483,7 +490,7 @@ def _make_sqp(
         zeros_m = jnp.zeros_like(x0)
         zeros_n = jnp.zeros(n, x0.dtype)
         return _SqpState(
-            x=x0, f=f0, grad=g0, B=jnp.eye(m, dtype=x0.dtype),
+            x=x0, f=f0, grad=g0, B=jnp.eye(m, dtype=x0.dtype).reshape(-1),
             mu=jnp.asarray(1.0, x0.dtype), k=jnp.int32(0),
             small_count=jnp.int32(0),
             done=jnp.asarray(False), ls_failed=jnp.asarray(False),

@@ -67,6 +67,16 @@ def main() -> None:
         # raw solution next tick. Closed-loop progress and final goal
         # distances are identical to max_iters=40 (PERF.md cap sweep).
         solver_max_iters=8,
+        # Two-phase Armijo schedule: fine 0.5 grid for the first 2 trips
+        # (where almost every accepted alpha lives — fidelity), then 1/16
+        # per trip so reject-everything episodes at the control kink stop
+        # dragging the whole batch through 16 lockstep merit evals. Measured
+        # +18.7 % over single-phase at the same fidelity class as the cap-8
+        # point itself (command-diff p99 vs the cap-40 default program:
+        # 0.0039 vs 0.0022; 91.5 % of lanes within 0.01 everywhere —
+        # PERF.md round-3 line-search study).
+        solver_max_backtracks=7, solver_ls_coarse_after=2,
+        solver_ls_coarse_factor=0.0625,
         min_vel_x=-0.7, min_vel_y=-0.7, min_vel_theta=-0.7,
         max_vel_x=0.7, max_vel_y=0.7, max_vel_trans=0.7, max_vel_theta=0.7,
         w_trans=0.82, w_orient=0.5, w_control=0.05, w_terminal=0.05,
@@ -143,7 +153,11 @@ def main() -> None:
     # (solver_max_iters=40 — every lane runs to convergence; straggler lanes
     # are re-batched by the lockstep-tail compaction, sqp.py) so the headline
     # cap-8 number and the library default are BOTH measured programs.
-    cfg40 = cfg.replace(solver_max_iters=40)
+    # True library defaults for the solver knobs (single-phase 0.5^j Armijo,
+    # full budget) so this row measures the SHIPPED default program, not the
+    # headline operating point.
+    cfg40 = cfg.replace(solver_max_iters=40, solver_max_backtracks=16,
+                        solver_ls_coarse_after=0)
     sim40 = jax.jit(lambda b, t: batch_simulate(cfg40, b, t), static_argnums=1)
     run40 = sim40(sb, args.ticks)
     sync(run40.cmds)

@@ -157,6 +157,27 @@ class MpcConfig:
     # backtracking (first accepted candidate in halving order). 1 = classic
     # sequential halving.
     solver_ls_wave: int = 1
+    # Armijo backtracking schedule: candidate j is ls_backtrack^j, up to
+    # max_backtracks candidates. Under lockstep vmap every lane pays the
+    # slowest ALIVE lane's trip count, and a lane that rejects every candidate
+    # (the nonsmooth control kink) burns the full budget for the whole batch —
+    # so the schedule's depth/steepness is a fleet-throughput lever. 0.5 is
+    # classic halving; steeper (e.g. 0.25) reaches small steps in half the
+    # trips at coarser alpha granularity (changes which alpha is accepted =>
+    # changed solutions; operating points that deviate from the defaults need
+    # the PERF.md fidelity study, like solver_max_iters=8).
+    solver_ls_backtrack: float = 0.5
+    solver_max_backtracks: int = 16
+    # Two-phase schedule: after `solver_ls_coarse_after` rejected candidates
+    # the factor switches to `solver_ls_coarse_factor` (0 = single-phase).
+    # Rationale: almost every accepted alpha is one of the first few
+    # candidates — keeping those on the fine 0.5 grid preserves fidelity —
+    # while the DEPTH of the schedule is set by reject-everything episodes at
+    # the nonsmooth control kink, which burn lockstep trips for the whole
+    # batch; coarsening only the deep tail cuts those trips at almost no
+    # solution drift (measured: see PERF.md round-3 line-search study).
+    solver_ls_coarse_after: int = 0
+    solver_ls_coarse_factor: float = 0.25
     # Compatibility quirks toggle.
     compat: CompatConfig = dataclasses.field(default_factory=CompatConfig)
 

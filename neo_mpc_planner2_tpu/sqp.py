@@ -310,9 +310,10 @@ def _make_sqp(
     cfg: MpcConfig,
     ftol: float | None = None,
     qp_iters: int | None = None,
-    max_backtracks: int = 16,
+    max_backtracks: int | None = None,
     parallel_ls: bool = False,
     ls_wave: int = 1,
+    ls_backtrack: float | None = None,
     limits=None,
 ):
     """Build the SQP iteration machinery for one objective: returns
@@ -334,6 +335,28 @@ def _make_sqp(
     """
     ftol = cfg.opt_tolerance if ftol is None else ftol
     qp_iters = cfg.qp_iters if qp_iters is None else qp_iters
+    max_backtracks = (cfg.solver_max_backtracks if max_backtracks is None
+                      else max_backtracks)
+    bt = float(cfg.solver_ls_backtrack if ls_backtrack is None
+               else ls_backtrack)
+    coarse_after = int(cfg.solver_ls_coarse_after)
+    coarse = float(cfg.solver_ls_coarse_factor)
+
+    def _ls_alpha(j):
+        """Candidate alpha after j rejections: bt^min(j,F) · coarse^max(j−F,0)
+        (single-phase when coarse_after == 0)."""
+        jf = j.astype(jnp.float32) if hasattr(j, "astype") else float(j)
+        if coarse_after <= 0:
+            return jnp.power(bt, jf)
+        fine = jnp.minimum(jf, float(coarse_after))
+        return jnp.power(bt, fine) * jnp.power(coarse, jf - fine)
+
+    def _ls_factor(j):
+        """Multiplicative factor applied after rejected trip j."""
+        if coarse_after <= 0:
+            return bt
+        return jnp.where(j < coarse_after, bt, coarse)
+
     val_grad = jax.value_and_grad(f)
 
     n = cfg.control_steps
@@ -369,7 +392,7 @@ def _make_sqp(
             # confirmed by device traces). Evaluating every candidate 2^-j in
             # one fused wave selects exactly the same alpha as sequential
             # halving, replacing max_backtracks loop trips with one wide eval.
-            alphas = 0.5 ** jnp.arange(max_backtracks, dtype=s.x.dtype)
+            alphas = _ls_alpha(jnp.arange(max_backtracks, dtype=s.x.dtype))
             cands = s.x[None, :] + alphas[:, None] * d[None, :]
             phis = jax.vmap(lambda xx: merit(xx, mu))(cands)
             ok_mask = phis <= phi0 + 1e-4 * alphas * dphi + 1e-12
@@ -394,7 +417,7 @@ def _make_sqp(
 
             def lsw_body(carry):
                 alpha, j, ok = carry
-                alphas = jnp.power(0.5, kf + j.astype(s.x.dtype))
+                alphas = _ls_alpha(kf + j.astype(s.x.dtype))
                 cands = s.x[None, :] + alphas[:, None] * d[None, :]
                 phis = jax.vmap(lambda xx: merit(xx, mu))(cands)
                 okm = phis <= phi0 + 1e-4 * alphas * dphi + 1e-12
@@ -417,7 +440,7 @@ def _make_sqp(
                 alpha, j, ok = carry
                 phi = merit(s.x + alpha * d, mu)
                 ok = phi <= phi0 + 1e-4 * alpha * dphi + 1e-12
-                alpha_next = jnp.where(ok, alpha, alpha * 0.5)
+                alpha_next = jnp.where(ok, alpha, alpha * _ls_factor(j))
                 return (alpha_next, j + 1, ok)
 
             # Converged lanes accept immediately (ok starts True): under vmap
@@ -511,7 +534,7 @@ def sqp_solve(
     ftol: float | None = None,
     max_iters: int | None = None,
     qp_iters: int | None = None,
-    max_backtracks: int = 16,
+    max_backtracks: int | None = None,
     parallel_ls: bool = False,
     limits=None,
 ) -> SolveResult:

@@ -263,3 +263,50 @@ def test_parallel_line_search_identical(cfg, empty_costmap, footprint):
                                   parallel_ls=True)(x0, scen)
         np.testing.assert_array_equal(np.asarray(seq.x), np.asarray(par.x))
         assert int(seq.iters) == int(par.iters)
+
+
+def test_two_phase_schedule_branches_identical(cfg, empty_costmap, footprint):
+    """The two-phase Armijo schedule (fine 0.5 grid for the first trips,
+    coarse factor below) must select identical alphas in every line-search
+    implementation: sequential halving, the parallel all-candidate wave, and
+    the K-wide wave. Solutions bit-identical across all three."""
+    two = cfg.replace(opt_tolerance=1e-8, solver_ls_coarse_after=2,
+                      solver_ls_coarse_factor=0.0625,
+                      solver_max_backtracks=7)
+    scen = mpc.Scenario.create([0, 0, 0], [0.4, 0.1, 0.2], [1.0, 0.5, 0.3],
+                               [0.3, 0.1, 0.05], footprint, empty_costmap)
+    rng = np.random.default_rng(7)
+    for _ in range(3):
+        x0 = jnp.asarray(rng.uniform(-0.5, 0.5, 9), jnp.float32)
+        seq = mpc.make_sqp_solver(two, mpc.make_objective(two),
+                                  ftol=1e-8, max_iters=200,
+                                  parallel_ls=False)(x0, scen)
+        par = mpc.make_sqp_solver(two, mpc.make_objective(two),
+                                  ftol=1e-8, max_iters=200,
+                                  parallel_ls=True)(x0, scen)
+        wave = mpc.make_sqp_solver(
+            two.replace(solver_ls_wave=3), mpc.make_objective(two),
+            ftol=1e-8, max_iters=200, parallel_ls=False)(x0, scen)
+        np.testing.assert_array_equal(np.asarray(seq.x), np.asarray(par.x))
+        np.testing.assert_array_equal(np.asarray(seq.x), np.asarray(wave.x))
+        assert int(seq.iters) == int(par.iters) == int(wave.iters)
+
+
+def test_two_phase_schedule_solution_quality(cfg, empty_costmap, footprint):
+    """Coarsening only the deep backtracking tail must not degrade the
+    converged objective: the two-phase solve lands within opt_tolerance of
+    the single-phase solve's objective on random starts."""
+    base = cfg.replace(opt_tolerance=1e-6)
+    two = base.replace(solver_ls_coarse_after=2,
+                       solver_ls_coarse_factor=0.0625,
+                       solver_max_backtracks=7)
+    scen = mpc.Scenario.create([0.1, -0.2, 0.3], [0.5, -0.1, 0.1],
+                               [1.0, 0.5, 0.3], [0.2, 0.0, 0.1],
+                               footprint, empty_costmap)
+    f_obj = mpc.make_objective(base)
+    rng = np.random.default_rng(11)
+    for _ in range(5):
+        x0 = jnp.asarray(rng.uniform(-0.5, 0.5, 9), jnp.float32)
+        a = mpc.make_sqp_solver(base, f_obj, max_iters=100)(x0, scen)
+        b = mpc.make_sqp_solver(two, f_obj, max_iters=100)(x0, scen)
+        assert float(b.fun) <= float(a.fun) + 1e-4

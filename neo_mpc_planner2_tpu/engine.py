@@ -308,6 +308,14 @@ def make_batched_controller_step(cfg: MpcConfig, parity: bool = True,
 
     def step(state, plan, robot_pose, current_vel, costmap, footprint,
              delta_t, limits=None):
+        # Hoist the flat costmap view to once per call: every downstream
+        # consumer (solver point sampler, pursuit gates, collision rollout)
+        # otherwise pays the (H, W) -> (H*W,) relayout copy at its own
+        # consumption site (ops.costmap.Costmap.flat). Callers that loop
+        # ticks (batch_simulate) hoist it once outside their scan instead.
+        if costmap.flat is None:
+            costmap = costmap.with_flat()
+
         def pre(st, p, rp, cv, cm, fp, lim):
             pr, scen, st2 = _tick_pre(cfg, st, p, rp, cv, cm, fp, lim)
             guess, last_control, waiting_time = _pre_solve(cfg, st2, scen)

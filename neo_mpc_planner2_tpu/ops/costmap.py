@@ -46,6 +46,20 @@ class Costmap:
     data: jnp.ndarray
     origin: jnp.ndarray
     resolution: jnp.ndarray
+    # Optional cached flat view of `data` (..., H*W). The (H, W) -> (H*W,)
+    # reshape is a REAL relayout on TPU (tiled (8, 128) -> lane-linear), and
+    # XLA re-materializes it at every consumption site inside while/scan
+    # bodies — one 64 MB copy per tick at batch 4096 (round-3 trace). Callers
+    # that run many queries against a fixed map (batch_step, batch_simulate)
+    # hoist it ONCE via with_flat(); None (the default) keeps per-call
+    # behavior. Queries are bit-identical either way.
+    flat: "jnp.ndarray | None" = None
+
+    def with_flat(self) -> "Costmap":
+        """Cache the flattened data view (amortizes the relayout copy)."""
+        h, w = self.data.shape[-2], self.data.shape[-1]
+        return self.replace(flat=self.data.reshape(
+            self.data.shape[:-2] + (h * w,)))
 
     @staticmethod
     def create(data, origin=(0.0, 0.0), resolution=0.05) -> "Costmap":
@@ -135,7 +149,8 @@ def cost_at_cell(cm: Costmap, mx: jnp.ndarray, my: jnp.ndarray) -> jnp.ndarray:
     in_bounds = (mx >= 0) & (mx < w) & (my >= 0) & (my < h)
     mxc = jnp.clip(mx, 0, w - 1)
     myc = jnp.clip(my, 0, h - 1)
-    flat = cm.data.reshape(cm.data.shape[:-2] + (h * w,))
+    flat = (cm.flat if cm.flat is not None
+            else cm.data.reshape(cm.data.shape[:-2] + (h * w,)))
     val = flat[..., myc * w + mxc]
     return jnp.where(in_bounds, val, LETHAL_COST)
 
@@ -296,7 +311,8 @@ def make_point_sampler(cm: Costmap, cx, cy, patch_halfwidth: int):
         return sample
 
     h, w = cm.data.shape[-2], cm.data.shape[-1]
-    flat = cm.data.reshape(cm.data.shape[:-2] + (h * w,))
+    flat = (cm.flat if cm.flat is not None
+            else cm.data.reshape(cm.data.shape[:-2] + (h * w,)))
 
     def sample(wx, wy):
         mx, my = world_to_map(cm, wx, wy)

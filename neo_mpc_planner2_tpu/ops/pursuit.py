@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from ..config import MpcConfig
 from .costmap import Costmap
 from .footprint import Footprint, footprint_cost_at_pose
-from .se2 import world_to_body
+from .se2 import se2_inverse
 
 __all__ = ["Plan", "PursuitResult", "pursuit_tick", "SLOW_DOWN_COST_GATE", "LETHAL_GATE"]
 
@@ -42,10 +42,31 @@ _BIG = 1e30
 
 @flax.struct.dataclass
 class Plan:
-    """Global plan in the map frame. poses: (P, 3); n_valid: () int32."""
+    """Global plan in the map frame; (P,) component arrays + () int32 n_valid.
 
-    poses: jnp.ndarray
+    Stored component-wise (px/py/pyaw) rather than as one (P, 3) array: TPU
+    tiles the trailing two dims to (8, 128), so a batched (B, P, 3) plan pads
+    3 -> 128 — a 42× HBM tax every time the per-tick base-frame transform
+    materializes it (0.21 ms/tick at batch 4096, round-3 trace). Component
+    (B, P) arrays pad P -> 128 only. Use `.poses` for the (P, 3) view
+    (host-side / convenience; it stacks on demand).
+    """
+
+    px: jnp.ndarray
+    py: jnp.ndarray
+    pyaw: jnp.ndarray
     n_valid: jnp.ndarray
+
+    @property
+    def poses(self) -> jnp.ndarray:
+        """(P, 3) stacked view (materializes; avoid in device hot loops)."""
+        return jnp.stack([self.px, self.py, self.pyaw], axis=-1)
+
+    @staticmethod
+    def from_poses(poses, n_valid) -> "Plan":
+        p = jnp.asarray(poses, jnp.float32)
+        return Plan(px=p[..., 0], py=p[..., 1], pyaw=p[..., 2],
+                    n_valid=jnp.asarray(n_valid, jnp.int32))
 
     @staticmethod
     def create(poses, max_points: int = 128) -> "Plan":
@@ -54,11 +75,12 @@ class Plan:
         if n > max_points:
             raise ValueError(f"plan has {n} poses > max {max_points}")
         pad = jnp.zeros((max_points - n, 3), jnp.float32) + p[-1]
-        return Plan(poses=jnp.concatenate([p, pad], axis=0), n_valid=jnp.asarray(n, jnp.int32))
+        return Plan.from_poses(jnp.concatenate([p, pad], axis=0), n)
 
     def goal(self) -> jnp.ndarray:
         """Final pose (cpp:280)."""
-        return self.poses[self.n_valid - 1]
+        i = self.n_valid - 1
+        return jnp.stack([self.px[i], self.py[i], self.pyaw[i]])
 
 
 class PursuitResult(NamedTuple):
@@ -98,12 +120,15 @@ def pursuit_tick(
     robot_pose is in the plan/map frame (the reference transforms the robot
     pose into the plan frame first, cpp:74-77; here both arrive in one frame).
     """
-    P = plan.poses.shape[0]
+    P = plan.px.shape[0]
     idx = jnp.arange(P, dtype=jnp.int32)
     alive = (idx >= start) & (idx < plan.n_valid)
 
-    # Closest pose (cpp:85-90).
-    d = jnp.linalg.norm(plan.poses[:, :2] - robot_pose[:2], axis=-1)
+    # Closest pose (cpp:85-90). Component-wise on the (P,) plan arrays — the
+    # stacked (P, 2/3) forms tile-pad the minor dim 42× on TPU (see Plan).
+    dx = plan.px - robot_pose[0]
+    dy = plan.py - robot_pose[1]
+    d = jnp.sqrt(dx * dx + dy * dy)
     d_alive = jnp.where(alive, d, _BIG)
     begin = jnp.argmin(d_alive).astype(jnp.int32)
 
@@ -120,17 +145,23 @@ def pursuit_tick(
     window = (idx >= begin) & (idx < end) & (idx < plan.n_valid)
     plan_empty = ~jnp.any(window)
 
-    # Transform window into the base frame (cpp:109-124).
-    local = world_to_body(robot_pose, plan.poses)
+    # Transform window into the base frame (cpp:109-124) — the same math as
+    # world_to_body(robot_pose, poses) (se2_compose ∘ se2_inverse), expanded
+    # onto the component arrays so no padded (P, 3) buffer materializes.
+    inv = se2_inverse(robot_pose)
+    ci, si = jnp.cos(inv[2]), jnp.sin(inv[2])
+    lx = inv[0] + plan.px * ci - plan.py * si
+    ly = inv[1] + plan.px * si + plan.py * ci
+    lyaw = inv[2] + plan.pyaw
 
     # Lookahead point (cpp:173-189): first window pose at ≥ lookahead_dist,
     # else the last window pose.
     lookahead_dist = _lookahead_distance(cfg, slow_down, closer_to_goal)
-    far_enough = window & (jnp.linalg.norm(local[:, :2], axis=-1) >= lookahead_dist)
+    far_enough = window & (jnp.sqrt(lx * lx + ly * ly) >= lookahead_dist)
     first_far = jnp.min(jnp.where(far_enough, idx, P)).astype(jnp.int32)
     last_window = jnp.max(jnp.where(window, idx, -1)).astype(jnp.int32)
     carrot_idx = jnp.where(first_far < P, first_far, jnp.maximum(last_window, 0))
-    carrot = local[carrot_idx]
+    carrot = jnp.stack([lx[carrot_idx], ly[carrot_idx], lyaw[carrot_idx]])
 
     # Slow-down hysteresis + collision gate (cpp:216-236). The re-check at
     # cpp:224 calls getLookAheadPoint with identical arguments, so its branch

@@ -99,8 +99,8 @@ def make_scenario_batch(
     poses = np.concatenate(
         [poses, np.repeat(poses[:, -1:, :], pad, axis=1)], axis=1
     )
-    plan = Plan(poses=jnp.asarray(poses),
-                n_valid=jnp.full((batch,), plan_points, jnp.int32))
+    plan = Plan.from_poses(jnp.asarray(poses),
+                           jnp.full((batch,), plan_points, jnp.int32))
 
     # --- costmaps: max of Gaussian blobs away from the start pose ---
     half = map_size * resolution / 2.0

@@ -49,6 +49,8 @@ def simulate_follow_path(
     """Run n_ticks of the 1/controller_frequency control loop, integrating the
     command with the same kinematic model the controller assumes."""
     dt = jnp.float32(cfg.control_interval)
+    # Flat-view hoist: once per run, not once per tick (see batch_simulate).
+    costmap = costmap if costmap.flat is not None else costmap.with_flat()
 
     def tick(carry, _):
         state, pose, vel = carry
@@ -91,6 +93,11 @@ def batch_simulate(cfg: MpcConfig, scenario_batch, n_ticks: int,
 
     sb = scenario_batch
     step = make_batched_controller_step(cfg, parity=parity)
+    # The map is fixed for the whole run: materialize the flat view ONCE
+    # outside the tick scan (inside, XLA re-runs the relayout every tick —
+    # a 64 MB copy per tick at batch 4096; round-3 trace).
+    costmap = (sb.costmap if sb.costmap.flat is not None
+               else sb.costmap.with_flat())
     batch = sb.robot_pose.shape[0]
     dt = jnp.float32(cfg.control_interval)
     dts = jnp.full((batch,), dt)
@@ -106,7 +113,7 @@ def batch_simulate(cfg: MpcConfig, scenario_batch, n_ticks: int,
 
     def tick(carry, _):
         state, pose, vel = carry
-        out = step(state, sb.plan, pose, vel, sb.costmap, sb.footprint, dts)
+        out = step(state, sb.plan, pose, vel, costmap, sb.footprint, dts)
         cmd = out.cmd_vel
         new_pose = jax.vmap(lambda c, p: rollout(c[None, :], dt, p)[0])(cmd, pose)
         gd = jnp.linalg.norm(new_pose[:, :2] - goals[:, :2], axis=-1)

@@ -370,9 +370,22 @@ def _make_sqp(
         hi = jnp.tile(jnp.asarray(limits.vel_hi, jnp.float32), n)
         max_trans = jnp.asarray(limits.max_vel_trans, jnp.float32)
 
+    # grad-only companion to val_grad: the SQP body re-derives f(x_new) from
+    # the accepted line-search candidate (every candidate evaluation already
+    # computes it), so the post-step call needs ONLY the gradient — and in
+    # parity mode the costmap term is piecewise-constant in the controls
+    # (nearest-cell gather behind floor+int cast: zero tangent path), so
+    # partial-eval/DCE strips the whole per-lane costmap gather from the
+    # grad-only computation. One of the two gathers per SQP iteration
+    # disappears (round-3 trace: val_grad was ~1 ms/tick at batch 4096,
+    # the same cost as a merit eval — i.e. gather-dominated).
+    grad_f = jax.grad(f)
+
     def merit(x, mu):
+        """Returns (phi, f): the L1 merit and the raw objective at x."""
         c, _ = _cone_constraints(x, cfg, max_trans)
-        return f(x) + mu * jnp.sum(jnp.maximum(-c, 0.0))
+        fv = f(x)
+        return fv + mu * jnp.sum(jnp.maximum(-c, 0.0)), fv
 
     def body(s: _SqpState) -> _SqpState:
         c, J = _cone_constraints(s.x, cfg, max_trans)
@@ -394,10 +407,12 @@ def _make_sqp(
             # halving, replacing max_backtracks loop trips with one wide eval.
             alphas = _ls_alpha(jnp.arange(max_backtracks, dtype=s.x.dtype))
             cands = s.x[None, :] + alphas[:, None] * d[None, :]
-            phis = jax.vmap(lambda xx: merit(xx, mu))(cands)
+            phis, fs = jax.vmap(lambda xx: merit(xx, mu))(cands)
             ok_mask = phis <= phi0 + 1e-4 * alphas * dphi + 1e-12
             ls_ok = jnp.any(ok_mask)
-            alpha = alphas[jnp.argmax(ok_mask)]
+            sel = jnp.argmax(ok_mask)
+            alpha = alphas[sel]
+            f_ls = fs[sel]
         elif ls_wave > 1:
             # Wave Armijo: evaluate `ls_wave` consecutive halving candidates
             # per merit evaluation. The merit cost is dominated by the FIXED
@@ -412,36 +427,40 @@ def _make_sqp(
             kf = jnp.arange(K, dtype=s.x.dtype)
 
             def lsw_cond(carry):
-                alpha, j, ok = carry
+                alpha, j, ok, facc = carry
                 return (~ok) & (j < max_backtracks)
 
             def lsw_body(carry):
-                alpha, j, ok = carry
+                alpha, j, ok, facc = carry
                 alphas = _ls_alpha(kf + j.astype(s.x.dtype))
                 cands = s.x[None, :] + alphas[:, None] * d[None, :]
-                phis = jax.vmap(lambda xx: merit(xx, mu))(cands)
+                phis, fs = jax.vmap(lambda xx: merit(xx, mu))(cands)
                 okm = phis <= phi0 + 1e-4 * alphas * dphi + 1e-12
                 any_ok = jnp.any(okm)
-                sel = alphas[jnp.argmax(okm)]
+                hit = jnp.argmax(okm)
+                sel = alphas[hit]
                 alpha_next = jnp.where(ok, alpha, jnp.where(any_ok, sel, alpha))
-                return (alpha_next, j + K, ok | any_ok)
+                facc_next = jnp.where(ok, facc,
+                                      jnp.where(any_ok, fs[hit], facc))
+                return (alpha_next, j + K, ok | any_ok, facc_next)
 
             # Done lanes accept immediately (ok starts True) — same
             # short-circuit as the sequential branch below.
-            alpha, _, ls_ok = jax.lax.while_loop(
+            alpha, _, ls_ok, f_ls = jax.lax.while_loop(
                 lsw_cond, lsw_body,
-                (jnp.asarray(1.0, s.x.dtype), jnp.int32(0), s.done))
+                (jnp.asarray(1.0, s.x.dtype), jnp.int32(0), s.done, s.f))
         else:
             def ls_cond(carry):
-                alpha, j, ok = carry
+                alpha, j, ok, facc = carry
                 return (~ok) & (j < max_backtracks)
 
             def ls_body(carry):
-                alpha, j, ok = carry
-                phi = merit(s.x + alpha * d, mu)
+                alpha, j, ok, facc = carry
+                phi, fv = merit(s.x + alpha * d, mu)
                 ok = phi <= phi0 + 1e-4 * alpha * dphi + 1e-12
                 alpha_next = jnp.where(ok, alpha, alpha * _ls_factor(j))
-                return (alpha_next, j + 1, ok)
+                facc = jnp.where(ok, fv, facc)
+                return (alpha_next, j + 1, ok, facc)
 
             # Converged lanes accept immediately (ok starts True): under vmap
             # the backtracking while runs until EVERY lane accepts, and a done
@@ -450,14 +469,18 @@ def _make_sqp(
             # batch through ~16 lockstep merit evaluations it will discard
             # (round-2 trace: the line-search while was ~1/3 of the warm
             # step). Its own updates are frozen below regardless.
-            alpha, _, ls_ok = jax.lax.while_loop(
+            alpha, _, ls_ok, f_ls = jax.lax.while_loop(
                 ls_cond, ls_body, (jnp.asarray(1.0, s.x.dtype), jnp.int32(0),
-                                   s.done)
+                                   s.done, s.f)
             )
 
         step_vec = jnp.where(ls_ok, alpha * d, jnp.zeros_like(d))
         x_new = s.x + step_vec
-        f_new, g_new = val_grad(x_new)
+        # f(x_new) was already computed by the accepted line-search candidate
+        # (or is s.f unchanged on failure); only the gradient is fresh work —
+        # and it needs no costmap gather (see grad_f above).
+        f_new = jnp.where(ls_ok, f_ls, s.f)
+        g_new = grad_f(x_new)
 
         # Damped BFGS (Powell) on the accepted step.
         sv = step_vec

@@ -64,6 +64,9 @@ def main() -> None:
         prediction_horizon=0.8, control_steps=3, opt_tolerance=1e-3,
         footprint_edge_samples=16, max_plan_points=64,
         solver_max_iters=args.max_iters,
+        # bench.py headline operating point (two-phase Armijo schedule).
+        solver_max_backtracks=7, solver_ls_coarse_after=2,
+        solver_ls_coarse_factor=0.0625,
         min_vel_x=-0.7, min_vel_y=-0.7, min_vel_theta=-0.7,
         max_vel_x=0.7, max_vel_y=0.7, max_vel_trans=0.7, max_vel_theta=0.7,
         w_trans=0.82, w_orient=0.5, w_control=0.05, w_terminal=0.05,

@@ -36,11 +36,16 @@ def _vmap_ref(cfg):
 
 
 def _assert_same(ref, new):
-    for name in ("cmd_vel", "raw_solution", "fun", "solver_iters",
+    for name in ("cmd_vel", "raw_solution", "solver_iters",
                  "solver_converged", "collision", "local_plan"):
         a = np.asarray(getattr(ref, name))
         b = np.asarray(getattr(new, name))
         assert np.array_equal(a, b), name
+    # `fun` is re-derived from the accepted line-search candidate (sqp.py
+    # grad-only post-step); its float fusion differs between the two compiled
+    # graphs by ~1 ulp while the solutions themselves stay bit-identical.
+    np.testing.assert_allclose(np.asarray(ref.fun), np.asarray(new.fun),
+                               rtol=1e-6, atol=1e-7)
     jax.tree.map(
         lambda a, b: np.testing.assert_array_equal(np.asarray(a),
                                                    np.asarray(b)),

@@ -33,6 +33,8 @@ def main() -> None:
                          "combos (0.5:16 = current default; e.g. 0.5:9:2:0.25"
                          " = fine 0.5 for 2 trips then 0.25)")
     ap.add_argument("--no-fidelity", action="store_true")
+    ap.add_argument("--qp-iters", type=int, default=0,
+                    help="override cfg.qp_iters for all combos (0 = default)")
     args = ap.parse_args()
 
     import jax
@@ -57,6 +59,8 @@ def main() -> None:
         lookahead_dist_min=0.4, lookahead_dist_max=0.4,
         lookahead_dist_close_to_goal=0.4,
     )
+    if args.qp_iters:
+        base = base.replace(qp_iters=args.qp_iters)
     sb = make_scenario_batch(base, args.batch, seed=0,
                              map_size=args.map_size, plan_points=64)
     fsb = None
@@ -66,7 +70,9 @@ def main() -> None:
                                   map_size=args.map_size, plan_points=64)
         gold_cfg = base.replace(solver_max_iters=40,
                                 solver_ls_backtrack=0.5,
-                                solver_max_backtracks=16)
+                                solver_max_backtracks=16,
+                                solver_ls_coarse_after=0,
+                                qp_iters=60)
         gsim = jax.jit(lambda b, t: batch_simulate(gold_cfg, b, t),
                        static_argnums=1)
         grun = gsim(fsb, args.fidelity_ticks)

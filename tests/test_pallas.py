@@ -63,3 +63,53 @@ def test_out_of_bounds_lethal():
     got = footprint_cost_batch_pallas(cm, placed, samples=16, interpret=True)
     assert float(got[0]) == 1.0
     assert float(got[1]) == 0.0
+
+
+class TestQpAdmmKernel:
+    """The fused Pallas QP (SPD inverse + unrolled ADMM, sqp._qp_admm_kernel)
+    must match the XLA scan path to float-reassociation noise, including on
+    padded (non-multiple-of-block) batch tails and warm-started carries."""
+
+    def _inputs(self, rng, B, m=9):
+        n = m // 3
+        A = rng.normal(size=(B, m, m)).astype(np.float32) * 0.3
+        Bmat = A @ np.swapaxes(A, -1, -2) + np.eye(m, dtype=np.float32)
+        g = rng.normal(size=(B, m)).astype(np.float32)
+        x = rng.uniform(-0.5, 0.5, (B, m)).astype(np.float32)
+        xy = x.reshape(B, n, 3)[:, :, :2]
+        nrm = np.maximum(np.linalg.norm(xy, axis=-1), 1e-12)
+        c = (0.7 - nrm).astype(np.float32)
+        J = np.zeros((B, n, m), np.float32)
+        for k in range(n):
+            J[:, k, 3 * k] = -xy[:, k, 0] / nrm[:, k]
+            J[:, k, 3 * k + 1] = -xy[:, k, 1] / nrm[:, k]
+        lo = np.full((B, m), -0.7, np.float32)
+        hi = np.full((B, m), 0.7, np.float32)
+        carry = tuple(rng.normal(size=(B, r)).astype(np.float32) * 0.1
+                      for r in (m, m, n, m, n))
+        return (jnp.asarray(Bmat.reshape(B, m * m)), jnp.asarray(g),
+                jnp.asarray(x), jnp.asarray(c), jnp.asarray(J),
+                jnp.asarray(lo), jnp.asarray(hi),
+                *(jnp.asarray(a) for a in carry))
+
+    @pytest.mark.parametrize("B", [8, 131])
+    @pytest.mark.filterwarnings("ignore")
+    def test_matches_plain(self, B):
+        from functools import partial
+
+        from neo_mpc_planner2_tpu.sqp import (_qp_admm_pallas_batched,
+                                              _qp_admm_plain)
+
+        rng = np.random.default_rng(21 + B)
+        args = self._inputs(rng, B)
+        kw = dict(iters=6, rho=1.0, sigma=1e-6)
+        want = jax.vmap(partial(_qp_admm_plain, **kw))(*args)
+        n = 3
+        Jm = args[4]
+        dxy = jnp.stack([Jm[:, k, 3 * k + a] for k in range(n)
+                         for a in (0, 1)], axis=-1)
+        got = _qp_admm_pallas_batched(
+            *args[:4], dxy, *args[5:], **kw, interpret=True, block=128)
+        for w, gt in zip(want, got):
+            np.testing.assert_allclose(np.asarray(gt), np.asarray(w),
+                                       rtol=2e-4, atol=2e-5)

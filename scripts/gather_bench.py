@@ -65,6 +65,30 @@ def main() -> None:
     # Reference slab: stream the whole source once (bandwidth floor marker).
     timeit("sum(flat) [streams 64 MB]", lambda f, i: jnp.sum(f, -1), flat, idx)
 
+    # Narrower element types: if the gather rate is source-size-sensitive
+    # (TLB/page spread rather than pure issue latency), shrinking the source
+    # 4x/2x should show it. u8 is the nav2 raw scale (value-exact: the
+    # normalized map IS raw/255 in f32, so gather-then-scale reproduces the
+    # f32 gather bitwise on nav2-sourced maps).
+    flat_u8 = jnp.asarray(rng.integers(0, 256, (B, HW)), jnp.uint8)
+    timeit("vmap u8 flat[idx] -> f32*(1/255)",
+           jax.vmap(lambda f, i: f[i].astype(jnp.float32) * (1.0 / 255.0)),
+           flat_u8, idx)
+    flat_bf16 = flat.astype(jnp.bfloat16)
+    timeit("vmap bf16 flat[idx] -> f32",
+           jax.vmap(lambda f, i: f[i].astype(jnp.float32)), flat_bf16, idx)
+    # Map-size sensitivity probe at f32 (the headline runs map 64^2; 128^2
+    # measured 78% of the 64^2 rate end-to-end in round 2).
+    HW2 = 128 * 128
+    flat2 = jnp.asarray(rng.random((B, HW2), dtype=np.float32))
+    idx2 = jnp.asarray(rng.integers(0, HW2, (B, S)), jnp.int32)
+    timeit("vmap f32 flat[idx], map 128^2",
+           jax.vmap(lambda f, i: f[i]), flat2, idx2)
+    flat2_u8 = jnp.asarray(rng.integers(0, 256, (B, HW2)), jnp.uint8)
+    timeit("vmap u8 flat[idx], map 128^2",
+           jax.vmap(lambda f, i: f[i].astype(jnp.float32) * (1.0 / 255.0)),
+           flat2_u8, idx2)
+
 
 if __name__ == "__main__":
     main()

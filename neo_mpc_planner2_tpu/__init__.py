@@ -7,6 +7,19 @@ vmap-able over thousands of scenarios and pjit-shardable over a TPU mesh.
 See SURVEY.md for the layer map and reference citations.
 """
 
+import os as _os
+
+if _os.environ.get("NEO_MPC_COMPILE_CACHE"):
+    # Opt-in persistent XLA compilation cache. First compiles of the jitted
+    # engine take tens of seconds on remote/tunneled TPU backends; a disk
+    # cache makes every later process start warm. Env-driven so library
+    # import stays side-effect-free by default.
+    import jax as _jax
+
+    _jax.config.update("jax_compilation_cache_dir",
+                       _os.environ["NEO_MPC_COMPILE_CACHE"])
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from .config import CompatConfig, MpcConfig, config_from_ros_params, default_config
 from .controller import ControllerException, NeoMpcController
 from .engine import ControlState, MpcEngine, StepResult, controller_step, init_state, solve_step

@@ -545,8 +545,8 @@ def _make_sqp(
 
     def body(s: _SqpState) -> _SqpState:
         c, J = _cone_constraints(s.x, cfg, max_trans)
-        d, y_cone, qp = _qp_admm(s.B.reshape(m, m), s.grad, s.x, c, J, cfg, qp_iters, lo, hi,
-                                 init=s.qp)
+        d, y_cone, qp = _qp_admm(s.B, s.grad, s.x, c, J, cfg, qp_iters, lo,
+                                 hi, init=s.qp)
 
         # Exact-penalty weight: dominate the largest multiplier estimate.
         mu = jnp.maximum(s.mu, 1.5 * jnp.max(jnp.abs(y_cone)) + 1e-3)

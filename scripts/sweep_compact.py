@@ -53,6 +53,9 @@ def main() -> None:
         lookahead_dist_min=0.4, lookahead_dist_max=0.4,
         lookahead_dist_close_to_goal=0.4,
         solver_ls_wave=args.ls_wave,
+        # bench.py headline operating point (two-phase Armijo schedule).
+        solver_max_backtracks=7, solver_ls_coarse_after=2,
+        solver_ls_coarse_factor=0.0625,
     )
     if args.patch != 0:
         from neo_mpc_planner2_tpu.ops.costmap import required_patch_halfwidth

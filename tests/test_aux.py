@@ -120,3 +120,25 @@ def test_device_trace_writes(tmp_path):
         jax.jit(lambda x: x * 2)(jnp.ones(8)).block_until_ready()
     import os
     assert any(os.scandir(tmp_path / "trace"))
+
+
+def test_compile_cache_env(tmp_path):
+    """NEO_MPC_COMPILE_CACHE populates a persistent XLA compilation cache
+    (subprocess: the env hook runs at package import)."""
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env.update(JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo",
+               NEO_MPC_COMPILE_CACHE=str(tmp_path))
+    code = (
+        "import jax, neo_mpc_planner2_tpu as mpc\n"
+        "assert jax.config.jax_compilation_cache_dir\n"
+        "jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)\n"
+        "import jax.numpy as jnp\n"
+        "jax.jit(lambda x: (x*3).sum())(jnp.ones((256, 256))).block_until_ready()\n"
+    )
+    subprocess.run([sys.executable, "-c", code], check=True, env=env,
+                   timeout=240)
+    assert any(tmp_path.iterdir()), "cache dir stayed empty"

@@ -160,3 +160,44 @@ class TestFootprint:
         fp = mpc.Footprint.create([[0.1, 0.1], [-0.1, 0.1], [0.0, -0.1]], max_vertices=8)
         cm = mpc.Costmap.create(np.zeros((40, 40)), origin=(-1.0, -1.0), resolution=0.05)
         assert float(mpc.footprint_cost(cm, fp, samples=8)) == 0.0
+
+
+class TestCostmapFlatView:
+    def test_with_flat_queries_bit_identical(self):
+        """cost_at_cell / make_point_sampler must read identical values
+        through the cached flat view (Costmap.with_flat) and the per-call
+        reshape — including out-of-bounds lethality."""
+        from neo_mpc_planner2_tpu.ops.costmap import (cost_at_world,
+                                                      make_point_sampler)
+
+        rng = np.random.default_rng(5)
+        data = rng.uniform(0, 1, (48, 64)).astype(np.float32)
+        cm = mpc.Costmap.create(data, origin=(-1.0, -1.0), resolution=0.05)
+        cmf = cm.with_flat()
+        assert cmf.flat.shape == (48 * 64,)
+        wx = jnp.asarray(rng.uniform(-1.5, 2.5, 64), jnp.float32)
+        wy = jnp.asarray(rng.uniform(-1.5, 2.5, 64), jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(cost_at_world(cm, wx, wy)),
+            np.asarray(cost_at_world(cmf, wx, wy)))
+        s0 = make_point_sampler(cm, wx[0], wy[0], 0)
+        s1 = make_point_sampler(cmf, wx[0], wy[0], 0)
+        np.testing.assert_array_equal(np.asarray(s0(wx, wy)),
+                                      np.asarray(s1(wx, wy)))
+
+    def test_batched_with_flat(self):
+        rng = np.random.default_rng(6)
+        data = rng.uniform(0, 1, (4, 32, 32)).astype(np.float32)
+        cm = mpc.Costmap(
+            data=jnp.asarray(data),
+            origin=jnp.tile(jnp.asarray([-0.8, -0.8], jnp.float32), (4, 1)),
+            resolution=jnp.full((4,), 0.05, jnp.float32)).with_flat()
+        assert cm.flat.shape == (4, 32 * 32)
+        wx = jnp.asarray(rng.uniform(-1, 1, (4, 5)), jnp.float32)
+        wy = jnp.asarray(rng.uniform(-1, 1, (4, 5)), jnp.float32)
+        from neo_mpc_planner2_tpu.ops.costmap import cost_at_world
+        got = jax.vmap(cost_at_world)(cm, wx, wy)
+        want = jax.vmap(cost_at_world)(
+            mpc.Costmap(data=cm.data, origin=cm.origin,
+                        resolution=cm.resolution), wx, wy)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -53,6 +53,11 @@ class Costmap:
     # that run many queries against a fixed map (batch_step, batch_simulate)
     # hoist it ONCE via with_flat(); None (the default) keeps per-call
     # behavior. Queries are bit-identical either way.
+    #
+    # CACHE INVARIANT: `flat` is derived state with no auto-invalidation.
+    # Anything that replaces `data` on a flattened costmap (e.g. a dynamic
+    # obstacle-map update) MUST either pass flat=None in the same replace()
+    # or call with_flat() again — a stale flat silently serves old costs.
     flat: "jnp.ndarray | None" = None
 
     def with_flat(self) -> "Costmap":

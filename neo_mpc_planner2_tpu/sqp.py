@@ -208,9 +208,16 @@ def _chol_inverse(M: jnp.ndarray) -> jnp.ndarray:
     return jnp.moveaxis(Xt, (0, 1), (-2, -1))
 
 
-def _tpu_backend() -> bool:
-    """True when the default backend is a (possibly tunneled) TPU."""
-    if os.environ.get("NEO_MPC_NO_PALLAS_CHOL"):
+def _tpu_backend(kill: str = "") -> bool:
+    """True when the default backend is a (possibly tunneled) TPU.
+
+    kill: name of the per-kernel opt-out env var (NEO_MPC_NO_PALLAS_CHOL /
+    NEO_MPC_NO_PALLAS_QP). NEO_MPC_NO_PALLAS disables every Pallas kernel —
+    the per-kernel vars exist so a bisection toggles ONE kernel at a time.
+    """
+    if os.environ.get("NEO_MPC_NO_PALLAS"):
+        return False
+    if kill and os.environ.get(kill):
         return False
     try:
         plat = jax.devices()[0].platform
@@ -227,7 +234,7 @@ def _chol_inverse_vmap_rule(axis_size, in_batched, M):
     # (single-robot device p99 measured 0.34 ms via XLA vs 0.91 ms via the
     # kernel at batch 1); at fleet batches the kernel is +47 % end-to-end.
     if (M.ndim == 3 and M.dtype == jnp.float32 and M.shape[0] >= 256
-            and _tpu_backend()):
+            and _tpu_backend("NEO_MPC_NO_PALLAS_CHOL")):
         return _chol_inverse_pallas_batched(M), True
     # Non-TPU / nested-batch fallback: mapped axis (0) goes minor, matrix
     # dims major. (On TPU this alone does NOT fix the layout — XLA relabels
@@ -427,7 +434,7 @@ def _qp_admm_core(iters: int, rho: float, sigma: float, m: int):
         Bflat, g, x, c, J, lo, hi, d0, zb0, zc0, wb0, wc0 = args
         out_batched = (True,) * 7
         if (Bflat.ndim == 2 and Bflat.dtype == jnp.float32
-                and axis_size >= 256 and _tpu_backend()):
+                and axis_size >= 256 and _tpu_backend("NEO_MPC_NO_PALLAS_QP")):
             # The cone Jacobian's only nonzeros are (row k, cols 3k/3k+1);
             # hand the kernel just those (dx_k, dy_k interleaved).
             rows = list(range(n))
@@ -592,6 +599,10 @@ def _make_sqp(
                 cands = s.x[None, :] + alphas[:, None] * d[None, :]
                 phis, fs = jax.vmap(lambda xx: merit(xx, mu))(cands)
                 okm = phis <= phi0 + 1e-4 * alphas * dphi + 1e-12
+                # The last wave may overhang the budget when K does not
+                # divide max_backtracks; candidates past it must not be
+                # acceptable (the sequential branch never evaluates them).
+                okm = okm & (kf + j.astype(s.x.dtype) < max_backtracks)
                 any_ok = jnp.any(okm)
                 hit = jnp.argmax(okm)
                 sel = alphas[hit]
@@ -783,12 +794,15 @@ def make_sqp_solver_batched(cfg: MpcConfig, objective,
     (e.g. a cold start), it falls back to continuing the full batch.
 
     Per-lane math is identical in every grouping (the SQP body touches only
-    lane-local state; batched while_loop masking freezes done lanes). The
-    full-fallback branch is bit-identical to vmap(sqp_solve); the compact
-    branch compiles a different graph, so XLA fusion can reassociate float
-    ops — values agree to ~1e-6 (inside every parity/golden gate; same policy
-    as the tree-summed Cholesky, PERF.md), with identical iteration counts
-    and convergence flags (tests/test_compact.py).
+    lane-local state; batched while_loop masking freezes done lanes). Both
+    branches compile graphs whose float ops XLA may fuse/reassociate
+    differently from vmap(sqp_solve) — solutions agree to ~1e-6 (inside
+    every parity/golden gate; same policy as the tree-summed Cholesky,
+    PERF.md). Since the objective value is re-derived from the accepted
+    line-search candidate (the grad-only post-step), an `improved < ftol`
+    tie within ~1 ulp can also shift a lane's termination by one iteration
+    between groupings (tests/test_compact.py compares commands bitwise and
+    `fun` to float noise).
 
     Returns solve_batch(x0s, scens) -> batched SolveResult.
     """

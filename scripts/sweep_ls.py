@@ -83,7 +83,7 @@ def main() -> None:
     for combo in args.combos:
         parts = combo.split(":")
         bt_s, mb_s = parts[0], parts[1]
-        ca, cf = (int(parts[2]), float(parts[3])) if len(parts) > 2 else (0, 0.25)
+        ca, cf = (int(parts[2]), float(parts[3])) if len(parts) >= 4 else (0, 0.25)
         cfg = base.replace(solver_ls_backtrack=float(bt_s),
                            solver_max_backtracks=int(mb_s),
                            solver_ls_coarse_after=ca,

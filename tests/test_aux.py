@@ -129,8 +129,9 @@ def test_compile_cache_env(tmp_path):
     import subprocess
     import sys
 
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
-    env.update(JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo",
+    env.update(JAX_PLATFORMS="cpu", PYTHONPATH=repo_root,
                NEO_MPC_COMPILE_CACHE=str(tmp_path))
     code = (
         "import jax, neo_mpc_planner2_tpu as mpc\n"

@@ -178,6 +178,14 @@ class MpcConfig:
     # solution drift (measured: see PERF.md round-3 line-search study).
     solver_ls_coarse_after: int = 0
     solver_ls_coarse_factor: float = 0.25
+    # Per-lane warm-started initial step: the line search starts each outer
+    # iteration at min(1, 2·alpha_accepted_prev) instead of 1. A lane parked
+    # at a small alpha (the control-kink neighborhood) re-finds it in ~1 trip
+    # instead of re-descending the whole schedule — but a lane whose full
+    # step WOULD have been accepted takes the smaller warm step instead
+    # (alpha recovers at 2x per iteration), so solutions change: operating
+    # points enabling this need the sweep_ls fidelity gate. Off by default.
+    solver_ls_warm_alpha: bool = False
     # Compatibility quirks toggle.
     compat: CompatConfig = dataclasses.field(default_factory=CompatConfig)
 

@@ -466,6 +466,9 @@ class _SqpState(NamedTuple):
     done: jnp.ndarray
     ls_failed: jnp.ndarray
     qp: tuple  # ADMM warm-start carry (d, zb, zc, wb, wc)
+    # Last accepted line-search alpha (1.0 after a failure/reset); feeds the
+    # warm initial candidate when cfg.solver_ls_warm_alpha is on.
+    alpha0: jnp.ndarray
 
 
 def _make_sqp(
@@ -504,6 +507,7 @@ def _make_sqp(
                else ls_backtrack)
     coarse_after = int(cfg.solver_ls_coarse_after)
     coarse = float(cfg.solver_ls_coarse_factor)
+    warm_ls = bool(cfg.solver_ls_warm_alpha)
 
     def _ls_alpha(j):
         """Candidate alpha after j rejections: bt^min(j,F) · coarse^max(j−F,0)
@@ -561,6 +565,12 @@ def _make_sqp(
         # Directional derivative bound for Armijo.
         dphi = jnp.vdot(s.grad, d) - mu * jnp.sum(jnp.maximum(-c, 0.0))
 
+        # Initial candidate: 1, or the per-lane warm start (config knob).
+        if warm_ls:
+            a_init = jnp.minimum(jnp.asarray(1.0, s.x.dtype), 2.0 * s.alpha0)
+        else:
+            a_init = jnp.asarray(1.0, s.x.dtype)
+
         if parallel_ls:
             # Parallel Armijo: under vmap the sequential backtracking loop
             # locksteps at the slowest lane (some lane is always at the
@@ -568,7 +578,8 @@ def _make_sqp(
             # confirmed by device traces). Evaluating every candidate 2^-j in
             # one fused wave selects exactly the same alpha as sequential
             # halving, replacing max_backtracks loop trips with one wide eval.
-            alphas = _ls_alpha(jnp.arange(max_backtracks, dtype=s.x.dtype))
+            alphas = a_init * _ls_alpha(
+                jnp.arange(max_backtracks, dtype=s.x.dtype))
             cands = s.x[None, :] + alphas[:, None] * d[None, :]
             phis, fs = jax.vmap(lambda xx: merit(xx, mu))(cands)
             ok_mask = phis <= phi0 + 1e-4 * alphas * dphi + 1e-12
@@ -595,7 +606,7 @@ def _make_sqp(
 
             def lsw_body(carry):
                 alpha, j, ok, facc = carry
-                alphas = _ls_alpha(kf + j.astype(s.x.dtype))
+                alphas = a_init * _ls_alpha(kf + j.astype(s.x.dtype))
                 cands = s.x[None, :] + alphas[:, None] * d[None, :]
                 phis, fs = jax.vmap(lambda xx: merit(xx, mu))(cands)
                 okm = phis <= phi0 + 1e-4 * alphas * dphi + 1e-12
@@ -614,8 +625,7 @@ def _make_sqp(
             # Done lanes accept immediately (ok starts True) — same
             # short-circuit as the sequential branch below.
             alpha, _, ls_ok, f_ls = jax.lax.while_loop(
-                lsw_cond, lsw_body,
-                (jnp.asarray(1.0, s.x.dtype), jnp.int32(0), s.done, s.f))
+                lsw_cond, lsw_body, (a_init, jnp.int32(0), s.done, s.f))
         else:
             def ls_cond(carry):
                 alpha, j, ok, facc = carry
@@ -637,9 +647,7 @@ def _make_sqp(
             # (round-2 trace: the line-search while was ~1/3 of the warm
             # step). Its own updates are frozen below regardless.
             alpha, _, ls_ok, f_ls = jax.lax.while_loop(
-                ls_cond, ls_body, (jnp.asarray(1.0, s.x.dtype), jnp.int32(0),
-                                   s.done, s.f)
-            )
+                ls_cond, ls_body, (a_init, jnp.int32(0), s.done, s.f))
 
         step_vec = jnp.where(ls_ok, alpha * d, jnp.zeros_like(d))
         x_new = s.x + step_vec
@@ -692,9 +700,11 @@ def _make_sqp(
         # done lane's state never changes — only its share of in-body compute
         # is wasted, which the line-search short-circuit above bounds.)
         done = (small_count >= 2) | (s.ls_failed & ~ls_ok)
+        alpha0 = (jnp.where(ls_ok, alpha, jnp.asarray(1.0, x_new.dtype))
+                  if warm_ls else s.alpha0)
         return _SqpState(x=x_new, f=f_new, grad=g_new, B=B_new, mu=mu,
                          k=s.k + 1, small_count=small_count, done=done,
-                         ls_failed=~ls_ok, qp=qp)
+                         ls_failed=~ls_ok, qp=qp, alpha0=alpha0)
 
     def init(x0: jnp.ndarray) -> _SqpState:
         # Start from the box-clipped warm start (scipy clips x0 into bounds).
@@ -708,6 +718,7 @@ def _make_sqp(
             small_count=jnp.int32(0),
             done=jnp.asarray(False), ls_failed=jnp.asarray(False),
             qp=(zeros_m, zeros_m, zeros_n, zeros_m, zeros_n),
+            alpha0=jnp.asarray(1.0, x0.dtype),
         )
 
     def run(s: _SqpState, upto_k: int) -> _SqpState:

@@ -35,6 +35,8 @@ def main() -> None:
     ap.add_argument("--no-fidelity", action="store_true")
     ap.add_argument("--qp-iters", type=int, default=0,
                     help="override cfg.qp_iters for all combos (0 = default)")
+    ap.add_argument("--warm-alpha", action="store_true",
+                    help="enable solver_ls_warm_alpha for all combos")
     args = ap.parse_args()
 
     import jax
@@ -61,6 +63,8 @@ def main() -> None:
     )
     if args.qp_iters:
         base = base.replace(qp_iters=args.qp_iters)
+    if args.warm_alpha:
+        base = base.replace(solver_ls_warm_alpha=True)
     sb = make_scenario_batch(base, args.batch, seed=0,
                              map_size=args.map_size, plan_points=64)
     fsb = None
@@ -72,6 +76,7 @@ def main() -> None:
                                 solver_ls_backtrack=0.5,
                                 solver_max_backtracks=16,
                                 solver_ls_coarse_after=0,
+                                solver_ls_warm_alpha=False,
                                 qp_iters=60)
         gsim = jax.jit(lambda b, t: batch_simulate(gold_cfg, b, t),
                        static_argnums=1)

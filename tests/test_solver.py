@@ -322,3 +322,30 @@ def test_two_phase_schedule_solution_quality(cfg, empty_costmap, footprint):
         a = mpc.make_sqp_solver(base, f_obj, max_iters=100)(x0, scen)
         b = mpc.make_sqp_solver(two, f_obj, max_iters=100)(x0, scen)
         assert float(b.fun) <= float(a.fun) + 1e-4
+
+
+def test_warm_alpha_schedule(cfg, empty_costmap, footprint):
+    """solver_ls_warm_alpha: sequential/parallel/wave branches stay mutually
+    consistent (same per-lane warm initial candidate), and solution quality
+    holds vs the default cold-start schedule."""
+    warm = cfg.replace(opt_tolerance=1e-6, solver_ls_warm_alpha=True)
+    scen = mpc.Scenario.create([0.1, -0.2, 0.3], [0.5, -0.1, 0.1],
+                               [1.0, 0.5, 0.3], [0.2, 0.0, 0.1],
+                               footprint, empty_costmap)
+    f_obj = mpc.make_objective(warm)
+    rng = np.random.default_rng(17)
+    for _ in range(3):
+        x0 = jnp.asarray(rng.uniform(-0.5, 0.5, 9), jnp.float32)
+        seq = mpc.make_sqp_solver(warm, f_obj, max_iters=100,
+                                  parallel_ls=False)(x0, scen)
+        par = mpc.make_sqp_solver(warm, f_obj, max_iters=100,
+                                  parallel_ls=True)(x0, scen)
+        wave = mpc.make_sqp_solver(warm.replace(solver_ls_wave=2), f_obj,
+                                   max_iters=100, parallel_ls=False)(x0, scen)
+        np.testing.assert_allclose(np.asarray(seq.x), np.asarray(par.x),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(seq.x), np.asarray(wave.x),
+                                   rtol=1e-5, atol=1e-6)
+        cold = mpc.make_sqp_solver(cfg.replace(opt_tolerance=1e-6), f_obj,
+                                   max_iters=100)(x0, scen)
+        assert float(seq.fun) <= float(cold.fun) + 1e-4

@@ -26,9 +26,10 @@ def main() -> None:
                     help="k1:frac pairs; 0:0 = baseline (always run first)")
     ap.add_argument("--ls-wave", type=int, default=1,
                     help="solver_ls_wave candidates per merit eval")
-    ap.add_argument("--patch", type=int, default=-1,
-                    help="solver_costmap_patch halfwidth; -1 = auto "
-                         "(required_patch_halfwidth), 0 = full-map gather")
+    ap.add_argument("--patch", type=int, default=0,
+                    help="solver_costmap_patch halfwidth; 0 = full-map "
+                         "gather (the bench.py operating point), -1 = auto "
+                         "(required_patch_halfwidth)")
     args = ap.parse_args()
 
     import jax

@@ -37,6 +37,11 @@ def test_engine_fuzz(seed):
         lookahead_dist_min=float(rng.uniform(0.1, 0.6)),
         lookahead_dist_max=float(rng.uniform(0.2, 0.8)),
         lookahead_dist_close_to_goal=float(rng.uniform(0.1, 0.6)),
+        # Round-3 line-search knobs in the fuzz envelope.
+        solver_max_backtracks=int(rng.choice([7, 10, 16])),
+        solver_ls_coarse_after=int(rng.choice([0, 2])),
+        solver_ls_coarse_factor=float(rng.choice([0.0625, 0.125, 0.25])),
+        solver_ls_warm_alpha=bool(rng.choice([False, True])),
     )
     eng = mpc.MpcEngine(cfg)
     state = eng.init_state()

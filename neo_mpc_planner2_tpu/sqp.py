@@ -208,6 +208,14 @@ def _chol_inverse(M: jnp.ndarray) -> jnp.ndarray:
     return jnp.moveaxis(Xt, (0, 1), (-2, -1))
 
 
+# Batch threshold for the Pallas kernel dispatch rules: below ~2 lane-tiles
+# the strided-gather cost the kernels remove is negligible while per-call
+# kernel overhead is not (single-robot device p99 measured 0.34 ms via XLA
+# vs 0.91 ms via the Cholesky kernel at batch 1). Module-level so tests can
+# lower it and drive the dispatch rules in interpret mode on CPU.
+_KERNEL_MIN_BATCH = 256
+
+
 def _tpu_backend(kill: str = "") -> bool:
     """True when the default backend is a (possibly tunneled) TPU.
 
@@ -233,7 +241,8 @@ def _chol_inverse_vmap_rule(axis_size, in_batched, M):
     # kernel removes is negligible while the per-call kernel overhead is not
     # (single-robot device p99 measured 0.34 ms via XLA vs 0.91 ms via the
     # kernel at batch 1); at fleet batches the kernel is +47 % end-to-end.
-    if (M.ndim == 3 and M.dtype == jnp.float32 and M.shape[0] >= 256
+    if (M.ndim == 3 and M.dtype == jnp.float32
+            and M.shape[0] >= _KERNEL_MIN_BATCH
             and _tpu_backend("NEO_MPC_NO_PALLAS_CHOL")):
         return _chol_inverse_pallas_batched(M), True
     # Non-TPU / nested-batch fallback: mapped axis (0) goes minor, matrix
@@ -434,7 +443,8 @@ def _qp_admm_core(iters: int, rho: float, sigma: float, m: int):
         Bflat, g, x, c, J, lo, hi, d0, zb0, zc0, wb0, wc0 = args
         out_batched = (True,) * 7
         if (Bflat.ndim == 2 and Bflat.dtype == jnp.float32
-                and axis_size >= 256 and _tpu_backend("NEO_MPC_NO_PALLAS_QP")):
+                and axis_size >= _KERNEL_MIN_BATCH
+                and _tpu_backend("NEO_MPC_NO_PALLAS_QP")):
             # The cone Jacobian's only nonzeros are (row k, cols 3k/3k+1);
             # hand the kernel just those (dx_k, dy_k interleaved).
             rows = list(range(n))

@@ -113,3 +113,50 @@ class TestQpAdmmKernel:
         for w, gt in zip(want, got):
             np.testing.assert_allclose(np.asarray(gt), np.asarray(w),
                                        rtol=2e-4, atol=2e-5)
+
+
+def test_qp_kernel_dispatch_integration(monkeypatch):
+    """Drive the FULL batched SQP solve through the Pallas-QP dispatch rule
+    (dxy extraction, broadcasting, scatter of outputs) in interpret mode on
+    CPU, and compare against the plain-XLA path. Covers the rule glue that
+    otherwise only executes on real TPU."""
+    from functools import partial
+
+    from neo_mpc_planner2_tpu import sqp as sqp_mod
+    from neo_mpc_planner2_tpu.scenarios import make_scenario_batch
+
+    cfg = mpc.default_config().replace(
+        prediction_horizon=0.8, control_steps=3, opt_tolerance=1e-3,
+        footprint_edge_samples=8, max_plan_points=16,
+        solver_max_iters=3, qp_iters=8,
+        w_trans=0.82, w_orient=0.5, w_control=0.05, w_terminal=0.05,
+        w_costmap=0.05, w_footprint=2000.0)
+    sb = make_scenario_batch(cfg, 8, seed=2, map_size=32, plan_points=12)
+    scens = mpc.Scenario.create(
+        sb.robot_pose, sb.robot_pose * 0.5, sb.robot_pose + 1.0,
+        sb.current_vel, sb.footprint, sb.costmap,
+        switch_opt=jnp.zeros(8, bool))
+    x0 = jnp.asarray(np.random.default_rng(0).uniform(-0.3, 0.3, (8, 9)),
+                     jnp.float32)
+
+    solve = sqp_mod.make_sqp_solver_batched(cfg, mpc.make_objective(cfg))
+    want = solve(x0, scens)
+
+    monkeypatch.setattr(sqp_mod, "_KERNEL_MIN_BATCH", 4)
+    monkeypatch.setattr(sqp_mod, "_tpu_backend", lambda kill="": True)
+    monkeypatch.setattr(
+        sqp_mod, "_qp_admm_pallas_batched",
+        partial(sqp_mod._qp_admm_pallas_batched, interpret=True, block=128))
+    monkeypatch.setattr(
+        sqp_mod, "_chol_inverse_pallas_batched",
+        partial(sqp_mod._chol_inverse_pallas_batched, interpret=True))
+    sqp_mod._qp_admm_core.cache_clear()
+    try:
+        got = solve(x0, scens)
+    finally:
+        sqp_mod._qp_admm_core.cache_clear()
+
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(want.x),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got.iters),
+                                  np.asarray(want.iters))

@@ -123,8 +123,17 @@ def main() -> None:
     # Quality scenarios keep plan + footprint inside the window so the
     # metric measures plan-following, not window exits: 160 ticks ≈ 5.3 s
     # of 30 Hz closed loop over 0.7-1.1 m plans.
+    # clear_corridor_m reproduces the global-planner contract (the plan's
+    # swept corridor is passable; obstacles still crowd its edges), so a
+    # non-reaching lane is a CONTROLLER failure, not an infeasible scenario.
+    # center_on="plan" centers the static window on the plan bounding box
+    # (the closest static stand-in for a deployment's ROLLING local costmap):
+    # without it, a ~1 m goal on the 3.2 m start-centered window leaves the
+    # footprint corner poking into the lethal out-of-window band during the
+    # small overshoot at goal capture, latching the plugin hard-stop.
     qsb = make_scenario_batch(cfg, args.batch, seed=1, map_size=args.map_size,
-                              plan_points=64, plan_length_range=(0.7, 1.1))
+                              plan_points=64, plan_length_range=(0.7, 1.1),
+                              clear_corridor_m=0.55, center_on="plan")
     carry = (eng0.init_batch_state(args.batch), qsb.robot_pose,
              qsb.current_vel)
     quality_ticks = 0

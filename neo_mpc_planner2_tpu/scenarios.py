@@ -64,6 +64,9 @@ def make_scenario_batch(
     lethal_threshold: float | None = None,
     pose_jitter: float = 0.05,
     plan_length_range: tuple[float, float] = (1.5, 3.0),
+    clear_corridor_m: float | None = None,
+    corridor_max_cost: float = 0.6,
+    center_on: str = "start",
 ) -> ScenarioBatch:
     """Random curved plans + Gaussian-blob obstacle maps + perturbed starts.
 
@@ -80,6 +83,22 @@ def make_scenario_batch(
     with the robot; this sim's map is static) — for goal-REACHING studies pick
     lengths that keep plan + footprint inside the window, e.g. (0.7, 1.1) on
     a 3.2 m map.
+    clear_corridor_m: when set, cells within this distance of the plan
+    polyline are clamped to corridor_max_cost. This reproduces the contract a
+    global planner gives a local controller — the plan's swept corridor is
+    collision-free (obstacles may still crowd its edges) — so closed-loop
+    goal-reaching measures CONTROLLER quality instead of counting lanes whose
+    randomly-sampled blob happens to wall off the corridor entirely. Pick
+    >= the footprint circumradius (MPO-700: 0.46 m) plus tracking margin.
+    corridor_max_cost: ceiling applied inside the corridor; keep it below the
+    slow-down gate (200/255 ~ 0.784) and the collision latch (0.99).
+    center_on: where the (static) local window sits. "start" centers it on
+    the robot start (the window edge then sits one half-extent PAST the
+    start, so long plans — or even a small overshoot's footprint corner at
+    a ~1 m goal on a 3.2 m window — hit the lethal out-of-window band).
+    "plan" centers it on the plan's bounding box, the closest static
+    approximation of a deployment's rolling local costmap: margin is
+    symmetric about the whole maneuver instead of the start pose.
     """
     rng = np.random.default_rng(seed)
 
@@ -109,10 +128,20 @@ def make_scenario_batch(
         np.arange(map_size, dtype=np.float32) * resolution - half + resolution / 2,
         indexing="ij",
     )
+    # Per-lane window-center shift (world coords). xx/yy and everything
+    # sampled below stay window-local; world = local + shift.
+    if center_on == "plan":
+        ext = poses[:, :plan_points, :2]
+        shift = ((ext.min(axis=1) + ext.max(axis=1)) / 2.0).astype(np.float32)
+    elif center_on == "start":
+        shift = np.zeros((batch, 2), np.float32)
+    else:
+        raise ValueError(f"center_on must be 'start' or 'plan': {center_on!r}")
     centers = rng.uniform(-half + 0.8, half - 0.3, (batch, n_obstacles, 2))
-    # keep a clear bubble around the robot start
+    # keep a clear bubble around the robot start (world ~ origin)
     centers = np.where(
-        np.linalg.norm(centers, axis=-1, keepdims=True) < 0.8,
+        np.linalg.norm(centers + shift[:, None, :], axis=-1, keepdims=True)
+        < 0.8,
         centers + 1.2, centers,
     )
     amp = rng.uniform(0.3, 0.95, (batch, n_obstacles))
@@ -123,9 +152,29 @@ def make_scenario_batch(
     data = np.clip(np.max(blobs, axis=1), 0.0, 1.0).astype(np.float32)
     if lethal_threshold is not None:
         data = np.where(data > lethal_threshold, 1.0, data).astype(np.float32)
+    if clear_corridor_m is not None:
+        # Clamp cells near the plan polyline (plan points are ~resolution-
+        # spaced, so min point distance ~= polyline distance at this radius).
+        # Chunk lanes to bound the (C, H*W, P') distance tensor.
+        # Window-local plan coords (world - shift) to match the cell grid.
+        pts = (poses[:, :plan_points:2, :2]
+               - shift[:, None, :])  # (B, P', 2) every 2nd pose
+        cx = xx.reshape(-1).astype(np.float32)  # x varies along axis 1
+        cy = yy.reshape(-1).astype(np.float32)
+        r2 = np.float32(clear_corridor_m) ** 2
+        chunk = max(1, (1 << 25) // (cx.size * pts.shape[1]))
+        for i in range(0, batch, chunk):
+            p = pts[i:i + chunk]  # (C, P', 2)
+            d2p = ((cx[None, :, None] - p[:, None, :, 0]) ** 2
+                   + (cy[None, :, None] - p[:, None, :, 1]) ** 2).min(-1)
+            near = (d2p < r2).reshape(-1, map_size, map_size)
+            data[i:i + chunk] = np.where(
+                near, np.minimum(data[i:i + chunk],
+                                 np.float32(corridor_max_cost)),
+                data[i:i + chunk])
     costmap = Costmap(
         data=jnp.asarray(data),
-        origin=jnp.tile(jnp.asarray([-half, -half], jnp.float32), (batch, 1)),
+        origin=jnp.asarray(shift - half, jnp.float32),
         resolution=jnp.full((batch,), resolution, jnp.float32),
     )
 

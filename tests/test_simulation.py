@@ -73,3 +73,31 @@ def test_batched_simulation(sim_cfg):
     # Most scenarios make progress toward their goals.
     gd = np.asarray(res.goal_dist)
     assert (gd[:, -1] < gd[:, 0]).sum() >= 3
+
+
+def test_corridor_carving_clamps_plan_neighborhood(sim_cfg):
+    """clear_corridor_m reproduces the global-planner contract: no cell within
+    the corridor radius of the plan polyline exceeds corridor_max_cost, and
+    cells far from every plan stay untouched vs the uncarved batch."""
+    kw = dict(batch=16, seed=7, map_size=64, n_obstacles=8, plan_points=64,
+              lethal_threshold=0.8, plan_length_range=(0.7, 1.1))
+    raw = make_scenario_batch(sim_cfg, **kw)
+    carved = make_scenario_batch(sim_cfg, clear_corridor_m=0.55,
+                                 corridor_max_cost=0.6, **kw)
+    res = float(raw.costmap.resolution[0])
+    half = 64 * res / 2.0
+    centers = np.arange(64) * res - half + res / 2.0
+    cxx, cyy = np.meshgrid(centers, centers, indexing="xy")  # [y, x] grid
+    pts = np.asarray(raw.plan.px), np.asarray(raw.plan.py)
+    for b in range(16):
+        n = int(np.asarray(raw.plan.n_valid)[b])
+        px, py = pts[0][b][:n], pts[1][b][:n]
+        d = np.sqrt((cxx[None] - px[:, None, None]) ** 2
+                    + (cyy[None] - py[:, None, None]) ** 2).min(0)
+        cm = np.asarray(carved.costmap.data[b])
+        rm = np.asarray(raw.costmap.data[b])
+        # The generator subsamples every 2nd plan pose; leave the half-gap
+        # (~2 cm at these plan lengths) of slack on the inside of the radius.
+        assert cm[d < 0.53].max() <= 0.6 + 1e-6
+        far = d > 0.55 + res  # strictly outside (cell-center metric slack)
+        np.testing.assert_array_equal(cm[far], rm[far])

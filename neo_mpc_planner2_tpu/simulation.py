@@ -17,12 +17,32 @@ import jax.numpy as jnp
 
 from .config import MpcConfig
 from .engine import ControlState, controller_step, init_state
-from .ops.costmap import Costmap
+from .ops.costmap import Costmap, world_to_map
 from .ops.footprint import Footprint
 from .ops.pursuit import Plan
 from .ops.rollout import rollout
 
-__all__ = ["SimResult", "simulate_follow_path", "batch_simulate"]
+__all__ = ["SimResult", "simulate_follow_path", "batch_simulate",
+           "rolling_window"]
+
+
+def rolling_window(world: Costmap, pose: jnp.ndarray, cells: int) -> Costmap:
+    """Extract the (cells, cells) local window of a larger WORLD costmap,
+    centered on the robot and clamped fully inside the world bounds.
+
+    This is nav2's rolling local costmap (Costmap2DROS rolling_window): the
+    controller only ever sees a fixed-size window that re-centers on the
+    robot every tick, so plan pruning (half the window extent,
+    NeoMpcPlanner.cpp:80-82) and the lethal out-of-window band keep their
+    deployment semantics while the robot traverses arbitrarily long plans.
+    world: single-lane (H, W) Costmap; vmap for batches. pose: (3,)."""
+    H, W = world.data.shape[-2], world.data.shape[-1]
+    mx, my = world_to_map(world, pose[0], pose[1])
+    sx = jnp.clip(mx - cells // 2, 0, W - cells)
+    sy = jnp.clip(my - cells // 2, 0, H - cells)
+    data = jax.lax.dynamic_slice(world.data, (sy, sx), (cells, cells))
+    origin = world.origin + jnp.stack([sx, sy]) * world.resolution
+    return Costmap(data=data, origin=origin, resolution=world.resolution)
 
 
 class SimResult(NamedTuple):
@@ -45,16 +65,28 @@ def simulate_follow_path(
     start_vel: jnp.ndarray,
     n_ticks: int,
     parity: bool = True,
+    window_cells: int | None = None,
 ) -> SimResult:
     """Run n_ticks of the 1/controller_frequency control loop, integrating the
-    command with the same kinematic model the controller assumes."""
+    command with the same kinematic model the controller assumes.
+
+    window_cells: when set, `costmap` is the WORLD map and the controller
+    sees only the (window_cells,)² rolling window re-centered on the robot
+    each tick (nav2 rolling local costmap semantics)."""
     dt = jnp.float32(cfg.control_interval)
     # Flat-view hoist: once per run, not once per tick (see batch_simulate).
-    costmap = costmap if costmap.flat is not None else costmap.with_flat()
+    if window_cells is None:
+        costmap = costmap if costmap.flat is not None else costmap.with_flat()
 
     def tick(carry, _):
         state, pose, vel = carry
-        out = controller_step(cfg, state, plan, pose, vel, costmap, footprint,
+        if window_cells is None:
+            cm = costmap
+        else:
+            # Re-centered window is fresh data every tick; flatten it here so
+            # the solver loop's gather view isn't re-materialized per trip.
+            cm = rolling_window(costmap, pose, window_cells).with_flat()
+        out = controller_step(cfg, state, plan, pose, vel, cm, footprint,
                               dt, parity=parity)
         cmd = out.cmd_vel
         # Plant: one step of the omni model (py:230-236 semantics).
@@ -76,7 +108,8 @@ def simulate_follow_path(
 
 
 def batch_simulate(cfg: MpcConfig, scenario_batch, n_ticks: int,
-                   parity: bool = True, init=None) -> SimResult:
+                   parity: bool = True, init=None,
+                   window_cells: int | None = None) -> SimResult:
     """Closed-loop sim over a ScenarioBatch (scenarios.py), batch-first.
 
     Structured as lax.scan over the BATCHED tick (make_batched_controller_step)
@@ -88,6 +121,12 @@ def batch_simulate(cfg: MpcConfig, scenario_batch, n_ticks: int,
     init: optional (state, pose, vel) carry from a previous segment (e.g. the
     SimResult's final_state + poses[:, -1] + cmds[:, -1]), letting callers
     extend a run without recompiling for a larger static n_ticks.
+
+    window_cells: when set, scenario_batch.costmap is the per-lane WORLD map
+    and each tick the controller sees the (window_cells,)² rolling window
+    re-centered on its lane's robot (nav2 rolling local costmap semantics).
+    Costs one window extraction per lane per tick (~window bytes of HBM
+    traffic) on top of the static-map path.
     """
     from .engine import make_batched_controller_step
 
@@ -98,6 +137,8 @@ def batch_simulate(cfg: MpcConfig, scenario_batch, n_ticks: int,
     # a 64 MB copy per tick at batch 4096; round-3 trace).
     costmap = (sb.costmap if sb.costmap.flat is not None
                else sb.costmap.with_flat())
+    if window_cells is not None:
+        costmap = sb.costmap.replace(flat=None)  # world map; windows per tick
     batch = sb.robot_pose.shape[0]
     dt = jnp.float32(cfg.control_interval)
     dts = jnp.full((batch,), dt)
@@ -113,7 +154,12 @@ def batch_simulate(cfg: MpcConfig, scenario_batch, n_ticks: int,
 
     def tick(carry, _):
         state, pose, vel = carry
-        out = step(state, sb.plan, pose, vel, costmap, sb.footprint, dts)
+        if window_cells is None:
+            cm = costmap
+        else:
+            cm = jax.vmap(rolling_window, in_axes=(0, 0, None))(
+                costmap, pose, window_cells).with_flat()
+        out = step(state, sb.plan, pose, vel, cm, sb.footprint, dts)
         cmd = out.cmd_vel
         new_pose = jax.vmap(lambda c, p: rollout(c[None, :], dt, p)[0])(cmd, pose)
         gd = jnp.linalg.norm(new_pose[:, :2] - goals[:, :2], axis=-1)

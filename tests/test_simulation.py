@@ -101,3 +101,80 @@ def test_corridor_carving_clamps_plan_neighborhood(sim_cfg):
         assert cm[d < 0.53].max() <= 0.6 + 1e-6
         far = d > 0.55 + res  # strictly outside (cell-center metric slack)
         np.testing.assert_array_equal(cm[far], rm[far])
+
+
+class TestRollingWindow:
+    """nav2 rolling-local-costmap semantics: the controller sees a fixed-size
+    window re-centered on the robot each tick, so plans longer than the
+    window traverse cleanly — where a static window latches the lethal
+    out-of-window band."""
+
+    def _plan_and_world(self, sim_cfg):
+        plan = mpc.Plan.create(
+            np.stack([np.linspace(0, 2.4, 64), np.zeros(64),
+                      np.zeros(64)], 1),
+            max_points=sim_cfg.max_plan_points)
+        world = mpc.Costmap.create(np.zeros((128, 128)), origin=(-1.2, -3.2),
+                                   resolution=0.05)  # spans x,y in ±3.2-ish
+        fp = mpc.Footprint.rectangle(0.6, 0.4)
+        return plan, world, fp
+
+    def test_static_window_latches_long_plan(self, sim_cfg):
+        plan, _, fp = self._plan_and_world(sim_cfg)
+        cm = mpc.Costmap.create(np.zeros((64, 64)), origin=(-1.6, -1.6),
+                                resolution=0.05)  # 3.2 m static window
+        res = jax.jit(lambda: simulate_follow_path(
+            sim_cfg, plan, cm, fp, jnp.zeros(3), jnp.zeros(3), 250))()
+        # The lethal out-of-window band stops the robot: the predicted-
+        # collision latch fires as the rollout crosses the window edge
+        # (or the footprint gate, whichever the geometry hits first).
+        assert (np.asarray(res.collisions).any()
+                or np.asarray(res.lethal).any())
+        assert np.asarray(res.goal_dist)[-1] > 0.3
+
+    def test_rolling_window_traverses_long_plan(self, sim_cfg):
+        plan, world, fp = self._plan_and_world(sim_cfg)
+        res = jax.jit(lambda: simulate_follow_path(
+            sim_cfg, plan, world, fp, jnp.zeros(3), jnp.zeros(3), 250,
+            window_cells=64))()
+        assert not np.asarray(res.lethal).any()
+        assert np.asarray(res.goal_dist)[-1] < 0.05
+
+    def test_rolling_window_extraction_matches_world(self, sim_cfg):
+        """Window costs == world costs at every point the window covers, and
+        the window clamps inside the world near its edge."""
+        from neo_mpc_planner2_tpu.simulation import rolling_window
+        from neo_mpc_planner2_tpu.ops.costmap import cost_at_world
+        rng = np.random.default_rng(3)
+        world = mpc.Costmap.create(rng.random((96, 80)), origin=(-2.0, -1.0),
+                                   resolution=0.05)
+        for pose_xy in [(0.0, 0.5), (-1.9, -0.9), (1.9, 3.7), (5.0, 5.0)]:
+            pose = jnp.asarray([*pose_xy, 0.0], jnp.float32)
+            win = rolling_window(world, pose, 32)
+            assert win.data.shape == (32, 32)
+            ox, oy = float(win.origin[0]), float(win.origin[1])
+            # clamped inside world bounds
+            assert ox >= float(world.origin[0]) - 1e-6
+            assert oy >= float(world.origin[1]) - 1e-6
+            wx = jnp.asarray(rng.uniform(ox, ox + 32 * 0.05, 64), jnp.float32)
+            wy = jnp.asarray(rng.uniform(oy, oy + 32 * 0.05, 64), jnp.float32)
+            np.testing.assert_array_equal(
+                np.asarray(cost_at_world(win, wx, wy)),
+                np.asarray(cost_at_world(world, wx, wy)))
+
+    def test_batched_rolling_matches_single(self, sim_cfg):
+        """batch_simulate(window_cells=...) lane == simulate_follow_path on
+        the same scenario."""
+        from neo_mpc_planner2_tpu.scenarios import (ScenarioBatch,
+                                                    make_scenario_batch)
+        sb = make_scenario_batch(sim_cfg, 4, seed=9, map_size=96,
+                                 plan_points=64,
+                                 plan_length_range=(1.5, 2.2))
+        run = jax.jit(lambda b: batch_simulate(sim_cfg, b, 40,
+                                               window_cells=64))(sb)
+        lane = jax.tree.map(lambda x: x[2], sb)
+        single = jax.jit(lambda: simulate_follow_path(
+            sim_cfg, lane.plan, lane.costmap, lane.footprint,
+            lane.robot_pose, lane.current_vel, 40, window_cells=64))()
+        np.testing.assert_allclose(np.asarray(run.cmds[2]),
+                                   np.asarray(single.cmds), atol=2e-6)

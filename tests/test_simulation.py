@@ -178,3 +178,26 @@ class TestRollingWindow:
             lane.robot_pose, lane.current_vel, 40, window_cells=64))()
         np.testing.assert_allclose(np.asarray(run.cmds[2]),
                                    np.asarray(single.cmds), atol=2e-6)
+
+
+def test_maps_on_device_matches_host(sim_cfg):
+    """Device-synthesized costmaps are numerically equivalent to the host
+    path (same blob parameters; float32 vs float64 evaluation) with
+    identical plans/poses/origins."""
+    kw = dict(batch=8, seed=11, map_size=64, n_obstacles=6, plan_points=64,
+              lethal_threshold=0.8, plan_length_range=(0.7, 1.1),
+              clear_corridor_m=0.55, center_on="plan")
+    host = make_scenario_batch(sim_cfg, **kw)
+    dev = make_scenario_batch(sim_cfg, maps_on_device=True, **kw)
+    np.testing.assert_allclose(np.asarray(dev.costmap.data),
+                               np.asarray(host.costmap.data),
+                               atol=1e-5, rtol=0)
+    np.testing.assert_array_equal(np.asarray(dev.costmap.origin),
+                                  np.asarray(host.costmap.origin))
+    np.testing.assert_array_equal(np.asarray(dev.plan.px),
+                                  np.asarray(host.plan.px))
+    np.testing.assert_array_equal(np.asarray(dev.robot_pose),
+                                  np.asarray(host.robot_pose))
+    # Exact-lethal saturation survives the float32 path (gate cells == 1.0).
+    hd, dd = np.asarray(host.costmap.data), np.asarray(dev.costmap.data)
+    assert ((hd == 1.0) == (dd == 1.0)).all()

@@ -114,6 +114,7 @@ def make_scenario_batch(
     corridor_max_cost: float = 0.6,
     center_on: str = "start",
     maps_on_device: bool = False,
+    footprint: Footprint | None = None,
 ) -> ScenarioBatch:
     """Random curved plans + Gaussian-blob obstacle maps + perturbed starts.
 
@@ -250,7 +251,8 @@ def make_scenario_batch(
         rng.uniform(-pose_jitter, pose_jitter, (batch, 3)), jnp.float32)
     current_vel = jnp.asarray(rng.uniform(-0.3, 0.3, (batch, 3)), jnp.float32)
 
-    fp1 = mpo700_footprint(cfg.max_footprint_vertices)
+    fp1 = (footprint if footprint is not None
+           else mpo700_footprint(cfg.max_footprint_vertices))
     footprint = jax.tree.map(lambda x: jnp.broadcast_to(x, (batch,) + x.shape), fp1)
 
     state1 = init_state(cfg)

@@ -35,7 +35,7 @@ def suite_cfg():
 
 
 def _run_suite(cfg, n, seed, lethal_threshold=None, pose_jitter=0.05,
-               skip_lethal=True):
+               skip_lethal=True, chassis=(MPO700_LENGTH, MPO700_WIDTH)):
     """Drive the full device pipeline against the oracle over n scenarios.
 
     Returns (checked, matched, worst_gap, fp_fired): matched counts commands
@@ -43,10 +43,13 @@ def _run_suite(cfg, n, seed, lethal_threshold=None, pose_jitter=0.05,
     difference; fp_fired counts scenarios where the footprint branch
     (py:262-263) actually fired.
     """
+    from neo_mpc_planner2_tpu.ops.footprint import Footprint
+    fp_dev = Footprint.rectangle(chassis[0], chassis[1],
+                                 cfg.max_footprint_vertices)
     sb = make_scenario_batch(cfg, n, seed=seed, map_size=48, plan_points=48,
                              lethal_threshold=lethal_threshold,
-                             pose_jitter=pose_jitter)
-    hl, hw = MPO700_LENGTH / 2, MPO700_WIDTH / 2
+                             pose_jitter=pose_jitter, footprint=fp_dev)
+    hl, hw = chassis[0] / 2, chassis[1] / 2
     fp_np = np.array([[hl, hw], [-hl, hw], [-hl, -hw], [hl, -hw]])
 
     solver = mpc.make_sqp_solver(cfg, mpc.make_objective(cfg), ftol=1e-8,
@@ -147,3 +150,36 @@ def test_suite_deterministic():
                                   np.asarray(b.costmap.data))
     np.testing.assert_array_equal(np.asarray(a.plan.poses),
                                   np.asarray(b.plan.poses))
+
+
+def test_suite_mpo500_commands_match_oracle(suite_cfg):
+    """The second robot family the reference targets (README.md:6): the
+    MPO-500 mecanum chassis (~0.99 x 0.67 m) at its larger footprint and a
+    mecanum-typical velocity envelope (full sideways speed)."""
+    from neo_mpc_planner2_tpu.scenarios import MPO500_LENGTH, MPO500_WIDTH
+    cfg = suite_cfg.replace(min_vel_x=-0.8, max_vel_x=0.8,
+                            min_vel_y=-0.8, max_vel_y=0.8,
+                            max_vel_trans=0.8)
+    checked, matched, worst_gap, _ = _run_suite(
+        cfg, 24, seed=222, chassis=(MPO500_LENGTH, MPO500_WIDTH))
+    assert checked >= 16
+    frac = matched / checked
+    print(f"\nMPO-500 parity: {matched}/{checked} commands matched "
+          f"(frac={frac:.2f}), worst objective gap {worst_gap:.2e}")
+    assert frac >= 0.75, (matched, checked)
+    assert worst_gap < 1e-4
+
+
+def test_suite_mpo500_footprint_branch(suite_cfg):
+    """§2.3.8 with the larger MPO-500 footprint: long edges are exactly the
+    regime where sampled traversal under-reports lethal cells, so this runs
+    footprint_exact end-to-end on the second chassis too."""
+    from neo_mpc_planner2_tpu.scenarios import MPO500_LENGTH, MPO500_WIDTH
+    cfg = suite_cfg.replace(w_footprint=2000.0, footprint_exact=True,
+                            w_costmap=0.5)
+    checked, matched, worst_gap, fp_fired = _run_suite(
+        cfg, 24, seed=333, lethal_threshold=0.5, pose_jitter=0.7,
+        skip_lethal=False, chassis=(MPO500_LENGTH, MPO500_WIDTH))
+    assert checked >= 16
+    assert fp_fired >= 2, "suite failed to reach the footprint branch"
+    assert matched / checked >= 0.75, (matched, checked)

@@ -96,8 +96,11 @@ def main() -> None:
     # times it from a cold carry; the quality pass below then CHAINS it to a
     # longer horizon without a second compile (tunneled-backend compiles are
     # tens of seconds).
+    # maps_on_device: the (B, H, W) maps are synthesized on device from the
+    # host-drawn blob parameters — staging a 4096-lane batch through the
+    # ~1 MB/s tunnel otherwise costs minutes of bench wall time.
     sb = make_scenario_batch(cfg, args.batch, seed=0, map_size=args.map_size,
-                             plan_points=64)
+                             plan_points=64, maps_on_device=True)
     sim = jax.jit(
         lambda b, st, pose, vel, t: batch_simulate(cfg, b, t,
                                                    init=(st, pose, vel)),
@@ -106,12 +109,17 @@ def main() -> None:
     cold = (eng0.init_batch_state(args.batch), sb.robot_pose, sb.current_vel)
     run = sim(sb, *cold, args.ticks)
     sync(run.cmds)  # compile + first run
-    t0 = time.perf_counter()
-    run = sim(sb, *cold, args.ticks)
-    sync(run.cmds)
-    sim_s = time.perf_counter() - t0
+    # Min of 3 timed reps: the timed segment is ~0.1 s of device work plus
+    # one host fetch through the tunnel, whose latency jitter would otherwise
+    # be a few percent of the headline.
+    sim_s = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run = sim(sb, *cold, args.ticks)
+        sync(run.cmds)
+        sim_s = min(sim_s, time.perf_counter() - t0)
     import sys as _sys
-    print(f"[bench] headline done in {sim_s:.1f}s", file=_sys.stderr)
+    print(f"[bench] headline done in {sim_s:.2f}s", file=_sys.stderr)
     solves_per_sec_per_chip = args.batch * args.ticks / sim_s / n_dev
 
     # ---- trajectory quality: drive a goal-REACHABLE fleet to its goals by
@@ -133,7 +141,8 @@ def main() -> None:
     # small overshoot at goal capture, latching the plugin hard-stop.
     qsb = make_scenario_batch(cfg, args.batch, seed=1, map_size=args.map_size,
                               plan_points=64, plan_length_range=(0.7, 1.1),
-                              clear_corridor_m=0.55, center_on="plan")
+                              clear_corridor_m=0.55, center_on="plan",
+                              maps_on_device=True)
     carry = (eng0.init_batch_state(args.batch), qsb.robot_pose,
              qsb.current_vel)
     quality_ticks = 0
@@ -170,10 +179,12 @@ def main() -> None:
     sim40 = jax.jit(lambda b, t: batch_simulate(cfg40, b, t), static_argnums=1)
     run40 = sim40(sb, args.ticks)
     sync(run40.cmds)
-    t0 = time.perf_counter()
-    run40 = sim40(sb, args.ticks)
-    sync(run40.cmds)
-    s40 = time.perf_counter() - t0
+    s40 = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run40 = sim40(sb, args.ticks)
+        sync(run40.cmds)
+        s40 = min(s40, time.perf_counter() - t0)
     default_fidelity_sps = args.batch * args.ticks / s40 / n_dev
     default_unconv = float(1.0 - jnp.mean(
         jnp.asarray(run40.converged, jnp.float32)))

@@ -46,25 +46,28 @@ def mpo500_footprint(max_vertices: int = 8) -> Footprint:
 from functools import partial
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
-def _blob_maps_device(centers, amp, corridor_pts, map_size, resolution,
-                      lethal_threshold, clear_corridor_m, corridor_max_cost):
-    """Device twin of the host blob-map synthesis: max of Gaussian blobs,
-    optional lethal saturation, optional corridor clamp. Inputs are the tiny
-    host-drawn parameter arrays; the (B, H, W) grids never cross the link.
-    Accumulates over obstacles/plan points with fori_loop so peak memory
-    stays O(B·H·W) instead of O(B·O·H·W)."""
+def blob_maps(centers, amp, map_size: int, resolution: float,
+              lethal_threshold: float | None = None,
+              origin=None) -> jnp.ndarray:
+    """Synthesize (B, H, W) obstacle maps on device: max of Gaussian blobs,
+    optional exact-lethal saturation. centers: (B, O, 2) world coords of the
+    blob centers; origin: (B, 2) world coords of cell (0, 0)'s corner (None =
+    window centered on the world origin). Traceable — usable inside a scan
+    for per-tick dynamic obstacles (the reference's loop receives a fresh
+    costmap every service call; this is the batched equivalent)."""
     half = map_size * resolution / 2.0
     c = (jnp.arange(map_size, dtype=jnp.float32) * resolution
-         - half + resolution / 2)
-    xx = jnp.broadcast_to(c[None, :], (map_size, map_size))  # x along axis 1
-    yy = jnp.broadcast_to(c[:, None], (map_size, map_size))
+         + resolution / 2)
+    if origin is None:
+        origin = jnp.full((centers.shape[0], 2), -half, jnp.float32)
+    xw = origin[:, 0, None] + c[None, :]          # (B, W) cell-center x
+    yw = origin[:, 1, None] + c[None, :]          # (B, H) cell-center y
     batch, n_obstacles = amp.shape
     sig2 = 0.08
 
     def blob(i, acc):
-        d2 = ((xx[None] - centers[:, i, 0, None, None]) ** 2
-              + (yy[None] - centers[:, i, 1, None, None]) ** 2)
+        d2 = ((xw[:, None, :] - centers[:, i, 0, None, None]) ** 2
+              + (yw[:, :, None] - centers[:, i, 1, None, None]) ** 2)
         return jnp.maximum(acc, amp[:, i, None, None]
                            * jnp.exp(-d2 / (2 * sig2)))
 
@@ -74,6 +77,24 @@ def _blob_maps_device(centers, amp, corridor_pts, map_size, resolution,
     data = jnp.clip(data, 0.0, 1.0)
     if lethal_threshold is not None:
         data = jnp.where(data > lethal_threshold, 1.0, data)
+    return data
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def _blob_maps_device(centers, amp, corridor_pts, map_size, resolution,
+                      lethal_threshold, clear_corridor_m, corridor_max_cost):
+    """Device twin of the host blob-map synthesis (blob_maps above, on
+    window-local coordinates) plus the optional corridor clamp. Inputs are
+    the tiny host-drawn parameter arrays; the (B, H, W) grids never cross
+    the link. Accumulates over obstacles/plan points with fori_loop so peak
+    memory stays O(B·H·W) instead of O(B·O·H·W)."""
+    half = map_size * resolution / 2.0
+    c = (jnp.arange(map_size, dtype=jnp.float32) * resolution
+         - half + resolution / 2)
+    xx = jnp.broadcast_to(c[None, :], (map_size, map_size))  # x along axis 1
+    yy = jnp.broadcast_to(c[:, None], (map_size, map_size))
+    data = blob_maps(centers, amp, map_size, resolution, lethal_threshold)
+    batch = amp.shape[0]
     if corridor_pts is not None:
         def near(i, acc):
             d2p = ((xx[None] - corridor_pts[:, i, 0, None, None]) ** 2

@@ -109,7 +109,10 @@ def simulate_follow_path(
 
 def batch_simulate(cfg: MpcConfig, scenario_batch, n_ticks: int,
                    parity: bool = True, init=None,
-                   window_cells: int | None = None) -> SimResult:
+                   window_cells: int | None = None,
+                   dynamic_obstacles=None,
+                   obstacle_lethal_threshold: float | None = None
+                   ) -> SimResult:
     """Closed-loop sim over a ScenarioBatch (scenarios.py), batch-first.
 
     Structured as lax.scan over the BATCHED tick (make_batched_controller_step)
@@ -127,6 +130,18 @@ def batch_simulate(cfg: MpcConfig, scenario_batch, n_ticks: int,
     re-centered on its lane's robot (nav2 rolling local costmap semantics).
     Costs one window extraction per lane per tick (~window bytes of HBM
     traffic) on top of the static-map path.
+
+    dynamic_obstacles: optional (centers (B, O, 2), amp (B, O),
+    vel (B, O, 2)) blob parameters in WORLD coordinates. The costmap is then
+    re-synthesized ON DEVICE every tick with the centers advanced linearly
+    (centers + t·dt·vel) — the batched equivalent of the fresh costmap the
+    reference's server receives with every service call, and the scenario
+    class the 3 s stuck-wait (py:374-382) exists for: latch on a crossing
+    obstacle, outwait it, resume. scenario_batch.costmap supplies the grid
+    geometry (shape/origin/resolution); obstacle_lethal_threshold saturates
+    blob cells above it to exactly 1.0. Mutually exclusive with
+    window_cells; the tick clock restarts at 0 per call, so don't chain
+    dynamic runs through `init` expecting obstacle continuity.
     """
     from .engine import make_batched_controller_step
 
@@ -139,6 +154,14 @@ def batch_simulate(cfg: MpcConfig, scenario_batch, n_ticks: int,
                else sb.costmap.with_flat())
     if window_cells is not None:
         costmap = sb.costmap.replace(flat=None)  # world map; windows per tick
+    if dynamic_obstacles is not None:
+        if window_cells is not None:
+            raise ValueError(
+                "dynamic_obstacles and window_cells are mutually exclusive")
+        h, w = sb.costmap.data.shape[-2], sb.costmap.data.shape[-1]
+        if h != w:
+            raise ValueError("dynamic_obstacles needs a square grid")
+        dyn_centers, dyn_amp, dyn_vel = dynamic_obstacles
     batch = sb.robot_pose.shape[0]
     dt = jnp.float32(cfg.control_interval)
     dts = jnp.full((batch,), dt)
@@ -152,9 +175,19 @@ def batch_simulate(cfg: MpcConfig, scenario_batch, n_ticks: int,
     else:
         state0, pose0, vel0 = init
 
-    def tick(carry, _):
+    def tick(carry, t):
         state, pose, vel = carry
-        if window_cells is None:
+        if dynamic_obstacles is not None:
+            from .scenarios import blob_maps
+            ct = dyn_centers + (t.astype(jnp.float32) * dt)[..., None,
+                                                            None] * dyn_vel
+            data = blob_maps(ct, dyn_amp, sb.costmap.data.shape[-1],
+                             sb.costmap.resolution[0],
+                             obstacle_lethal_threshold,
+                             origin=sb.costmap.origin)
+            cm = Costmap(data=data, origin=sb.costmap.origin,
+                         resolution=sb.costmap.resolution).with_flat()
+        elif window_cells is None:
             cm = costmap
         else:
             cm = jax.vmap(rolling_window, in_axes=(0, 0, None))(
@@ -169,7 +202,7 @@ def batch_simulate(cfg: MpcConfig, scenario_batch, n_ticks: int,
                                             out.solver_iters)
 
     (fin_state, _, _), outs = jax.lax.scan(
-        tick, (state0, pose0, vel0), None, length=n_ticks)
+        tick, (state0, pose0, vel0), jnp.arange(n_ticks))
     # scan stacks time first: (T, B, ...) -> (B, T, ...).
     poses, cmds, cols, lethal, gd, conv, iters = jax.tree.map(
         lambda a: jnp.moveaxis(a, 0, 1), outs)

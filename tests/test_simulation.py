@@ -201,3 +201,78 @@ def test_maps_on_device_matches_host(sim_cfg):
     # Exact-lethal saturation survives the float32 path (gate cells == 1.0).
     hd, dd = np.asarray(host.costmap.data), np.asarray(dev.costmap.data)
     assert ((hd == 1.0) == (dd == 1.0)).all()
+
+
+class TestDynamicObstacles:
+    """Per-tick costmap dynamics: the reference's server gets a fresh costmap
+    with every service call; batch_simulate(dynamic_obstacles=...) is the
+    batched equivalent — blob centers advance linearly and the map is
+    re-synthesized on device every tick."""
+
+    def _scenario(self, sim_cfg, batch=2):
+        plan = np.stack([np.linspace(0, 2.0, 64), np.zeros(64),
+                         np.zeros(64)], 1).astype(np.float32)
+        plan = mpc.Plan.create(plan, max_points=sim_cfg.max_plan_points)
+        plan = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (batch,) + x.shape), plan)
+        cm = mpc.Costmap.create(np.zeros((96, 96)), origin=(-1.2, -1.2),
+                                resolution=0.05)
+        fp = mpc.Footprint.rectangle(0.6, 0.4)
+        from neo_mpc_planner2_tpu.scenarios import ScenarioBatch
+        from neo_mpc_planner2_tpu.engine import init_state
+        bcast = lambda t: jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (batch,) + x.shape), t)
+        return ScenarioBatch(
+            state=bcast(init_state(sim_cfg)), plan=plan,
+            robot_pose=jnp.zeros((batch, 3)), current_vel=jnp.zeros((batch, 3)),
+            costmap=bcast(cm), footprint=bcast(fp),
+            delta_t=jnp.full((batch,), 1 / 30, jnp.float32))
+
+    def test_crossing_obstacle_delays_but_goal_reached(self, sim_cfg):
+        """Lane 0: an obstacle crossing the path (must be outwaited or
+        skirted). Lane 1: the same obstacle far away (free run). The blocked
+        lane reaches the goal strictly later; neither lane ever has its
+        center inside the moving lethal core."""
+        cfg = sim_cfg.replace(w_costmap=0.5)
+        sb = self._scenario(cfg)
+        # One blob per lane: lane 0 starts ON the path at x=1.0 moving +y at
+        # 0.3 m/s (clears the corridor after ~2 s); lane 1's sits at y=+9
+        # (outside the map; map stays free).
+        centers = jnp.asarray([[[1.0, 0.0]], [[1.0, 9.0]]], jnp.float32)
+        amp = jnp.full((2, 1), 0.95, jnp.float32)
+        vel = jnp.asarray([[[0.0, 0.3]], [[0.0, 0.3]]], jnp.float32)
+        run = jax.jit(lambda b: batch_simulate(
+            cfg, b, 280, dynamic_obstacles=(centers, amp, vel),
+            obstacle_lethal_threshold=0.5))(sb)
+        gd = np.asarray(run.goal_dist)
+        assert gd[0, -1] < 0.1 and gd[1, -1] < 0.1, gd[:, -1]
+        first0 = int(np.argmax(gd[0] < 0.1))
+        first1 = int(np.argmax(gd[1] < 0.1))
+        assert first0 > first1 + 10, (first0, first1)
+        # The robot center never enters the moving lethal core (blob value
+        # > 0.5 within ~0.32 m of the advancing center).
+        poses = np.asarray(run.poses[0])
+        dt = 1 / 30
+        t = (np.arange(280) * dt)[:, None]
+        c = np.array([1.0, 0.0])[None, :] + t * np.array([0.0, 0.3])[None, :]
+        d = np.linalg.norm(poses[:, :2] - c, axis=-1)
+        assert d.min() > 0.32, d.min()
+
+    def test_dynamic_t0_matches_static_map(self, sim_cfg):
+        """At zero obstacle velocity the dynamic path must reproduce the
+        static-map simulation tick for tick (same blob synthesis, same
+        solver program)."""
+        from neo_mpc_planner2_tpu.scenarios import blob_maps
+        cfg = sim_cfg.replace(w_costmap=0.5)
+        sb = self._scenario(cfg)
+        centers = jnp.asarray([[[0.8, 0.2]], [[0.6, -0.3]]], jnp.float32)
+        amp = jnp.full((2, 1), 0.9, jnp.float32)
+        data = blob_maps(centers, amp, 96, sb.costmap.resolution[0],
+                         0.5, origin=sb.costmap.origin)
+        static_sb = sb._replace(costmap=sb.costmap.replace(data=data))
+        run_d = jax.jit(lambda b: batch_simulate(
+            cfg, b, 40, dynamic_obstacles=(centers, amp, jnp.zeros((2, 1, 2))),
+            obstacle_lethal_threshold=0.5))(sb)
+        run_s = jax.jit(lambda b: batch_simulate(cfg, b, 40))(static_sb)
+        np.testing.assert_allclose(np.asarray(run_d.cmds),
+                                   np.asarray(run_s.cmds), atol=2e-6)

@@ -134,6 +134,14 @@ class MpcConfig:
     # MUST satisfy h >= required_patch_halfwidth(cfg, resolution) — validated
     # by the host-side entry points that see concrete resolutions.
     solver_costmap_patch: int = 0
+    # Gather the solver's hot-loop costmap samples from a uint8 raw-scale
+    # (0-255) companion buffer instead of the f32 map — 4x less random-read
+    # footprint for the latency-bound merit-eval gather. Decode is u8/255.0,
+    # the exact encode expression of Costmap.from_nav2_costmap, so costs are
+    # BIT-IDENTICAL for any map whose values lie on the raw /255 grid (all
+    # nav2-sourced maps); maps with off-grid float values quantize to the
+    # nearest /255 step (<= 1/510 error) — hence opt-in.
+    solver_costmap_u8: bool = False
     # Lockstep-tail compaction for the BATCHED solve paths (MpcEngine
     # .batch_step / batch_simulate): after `solver_compact_after` full-batch
     # SQP iterations, if at most ceil(B·solver_compact_frac) lanes are still

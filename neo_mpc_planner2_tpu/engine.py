@@ -313,8 +313,9 @@ def make_batched_controller_step(cfg: MpcConfig, parity: bool = True,
         # otherwise pays the (H, W) -> (H*W,) relayout copy at its own
         # consumption site (ops.costmap.Costmap.flat). Callers that loop
         # ticks (batch_simulate) hoist it once outside their scan instead.
-        if costmap.flat is None:
-            costmap = costmap.with_flat()
+        if costmap.flat is None or (cfg.solver_costmap_u8
+                                    and costmap.flat_u8 is None):
+            costmap = costmap.with_flat(u8=cfg.solver_costmap_u8)
 
         def pre(st, p, rp, cv, cm, fp, lim):
             pr, scen, st2 = _tick_pre(cfg, st, p, rp, cv, cm, fp, lim)

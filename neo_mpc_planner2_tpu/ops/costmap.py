@@ -59,12 +59,30 @@ class Costmap:
     # obstacle-map update) MUST either pass flat=None in the same replace()
     # or call with_flat() again — a stale flat silently serves old costs.
     flat: "jnp.ndarray | None" = None
+    # Optional uint8 companion of `flat` on the nav2 raw 0-255 scale
+    # (with_flat(u8=True)). The solver's merit-eval gather is random-read
+    # latency/footprint bound; a u8 source is 4x smaller than f32 (16 vs
+    # 64 MB at batch 4096, map 64²). Samples decode as u8/255.0 — the SAME
+    # expression from_nav2_costmap encodes with, so for any map whose values
+    # lie on the raw /255 grid (every map that came from nav2) the decoded
+    # cost is BIT-IDENTICAL to the f32 gather, including the ==1.0 lethal
+    # branches. Maps with off-grid float values quantize to the nearest
+    # /255 step (error <= 1/510) — hence opt-in (cfg.solver_costmap_u8).
+    # Same staleness invariant as `flat`.
+    flat_u8: "jnp.ndarray | None" = None
 
-    def with_flat(self) -> "Costmap":
-        """Cache the flattened data view (amortizes the relayout copy)."""
+    def with_flat(self, u8: bool = False) -> "Costmap":
+        """Cache the flattened data view (amortizes the relayout copy).
+
+        u8=True additionally caches the raw-scale uint8 companion used by the
+        solver's hot-loop gather (see flat_u8)."""
         h, w = self.data.shape[-2], self.data.shape[-1]
-        return self.replace(flat=self.data.reshape(
-            self.data.shape[:-2] + (h * w,)))
+        flat = self.data.reshape(self.data.shape[:-2] + (h * w,))
+        flat_u8 = None
+        if u8:
+            flat_u8 = jnp.round(flat * 255.0).clip(0.0, 255.0).astype(
+                jnp.uint8)
+        return self.replace(flat=flat, flat_u8=flat_u8)
 
     @staticmethod
     def create(data, origin=(0.0, 0.0), resolution=0.05) -> "Costmap":
@@ -318,13 +336,20 @@ def make_point_sampler(cm: Costmap, cx, cy, patch_halfwidth: int):
     h, w = cm.data.shape[-2], cm.data.shape[-1]
     flat = (cm.flat if cm.flat is not None
             else cm.data.reshape(cm.data.shape[:-2] + (h * w,)))
+    # Prefer the 4x-smaller u8 source when the caller cached one
+    # (with_flat(u8=True)); decode u8/255.0 matches from_nav2_costmap's
+    # encode expression bit-for-bit for raw-grid maps (see Costmap.flat_u8).
+    flat_q = cm.flat_u8
 
     def sample(wx, wy):
         mx, my = world_to_map(cm, wx, wy)
         in_bounds = (mx >= 0) & (mx < w) & (my >= 0) & (my < h)
         mxc = jnp.clip(mx, 0, w - 1)
         myc = jnp.clip(my, 0, h - 1)
-        val = flat[..., myc * w + mxc]
+        if flat_q is not None:
+            val = flat_q[..., myc * w + mxc].astype(jnp.float32) / 255.0
+        else:
+            val = flat[..., myc * w + mxc]
         return jnp.where(in_bounds, val, LETHAL_COST)
 
     return sample

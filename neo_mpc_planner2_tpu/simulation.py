@@ -76,7 +76,9 @@ def simulate_follow_path(
     dt = jnp.float32(cfg.control_interval)
     # Flat-view hoist: once per run, not once per tick (see batch_simulate).
     if window_cells is None:
-        costmap = costmap if costmap.flat is not None else costmap.with_flat()
+        if costmap.flat is None or (cfg.solver_costmap_u8
+                                    and costmap.flat_u8 is None):
+            costmap = costmap.with_flat(u8=cfg.solver_costmap_u8)
 
     def tick(carry, _):
         state, pose, vel = carry
@@ -85,7 +87,8 @@ def simulate_follow_path(
         else:
             # Re-centered window is fresh data every tick; flatten it here so
             # the solver loop's gather view isn't re-materialized per trip.
-            cm = rolling_window(costmap, pose, window_cells).with_flat()
+            cm = rolling_window(costmap, pose, window_cells).with_flat(
+                u8=cfg.solver_costmap_u8)
         out = controller_step(cfg, state, plan, pose, vel, cm, footprint,
                               dt, parity=parity)
         cmd = out.cmd_vel
@@ -150,10 +153,13 @@ def batch_simulate(cfg: MpcConfig, scenario_batch, n_ticks: int,
     # The map is fixed for the whole run: materialize the flat view ONCE
     # outside the tick scan (inside, XLA re-runs the relayout every tick —
     # a 64 MB copy per tick at batch 4096; round-3 trace).
-    costmap = (sb.costmap if sb.costmap.flat is not None
-               else sb.costmap.with_flat())
+    costmap = sb.costmap
+    if costmap.flat is None or (cfg.solver_costmap_u8
+                                and costmap.flat_u8 is None):
+        costmap = costmap.with_flat(u8=cfg.solver_costmap_u8)
     if window_cells is not None:
-        costmap = sb.costmap.replace(flat=None)  # world map; windows per tick
+        # world map; windows (re-)flatten per tick
+        costmap = sb.costmap.replace(flat=None, flat_u8=None)
     if dynamic_obstacles is not None:
         if window_cells is not None:
             raise ValueError(
@@ -186,12 +192,14 @@ def batch_simulate(cfg: MpcConfig, scenario_batch, n_ticks: int,
                              obstacle_lethal_threshold,
                              origin=sb.costmap.origin)
             cm = Costmap(data=data, origin=sb.costmap.origin,
-                         resolution=sb.costmap.resolution).with_flat()
+                         resolution=sb.costmap.resolution).with_flat(
+                             u8=cfg.solver_costmap_u8)
         elif window_cells is None:
             cm = costmap
         else:
             cm = jax.vmap(rolling_window, in_axes=(0, 0, None))(
-                costmap, pose, window_cells).with_flat()
+                costmap, pose, window_cells).with_flat(
+                    u8=cfg.solver_costmap_u8)
         out = step(state, sb.plan, pose, vel, cm, sb.footprint, dts)
         cmd = out.cmd_vel
         new_pose = jax.vmap(lambda c, p: rollout(c[None, :], dt, p)[0])(cmd, pose)

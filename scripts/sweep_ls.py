@@ -37,6 +37,9 @@ def main() -> None:
                     help="override cfg.qp_iters for all combos (0 = default)")
     ap.add_argument("--warm-alpha", action="store_true",
                     help="enable solver_ls_warm_alpha for all combos")
+    ap.add_argument("--u8", action="store_true",
+                    help="enable solver_costmap_u8 for all combos (maps are "
+                         "snapped to the /255 grid so values stay exact)")
     args = ap.parse_args()
 
     import jax
@@ -65,18 +68,31 @@ def main() -> None:
         base = base.replace(qp_iters=args.qp_iters)
     if args.warm_alpha:
         base = base.replace(solver_ls_warm_alpha=True)
+    if args.u8:
+        base = base.replace(solver_costmap_u8=True)
     sb = make_scenario_batch(base, args.batch, seed=0,
                              map_size=args.map_size, plan_points=64)
+    if args.u8:
+        # Snap maps onto the raw /255 grid so the u8 gather is value-exact
+        # and fidelity diffs vs the f32 gold program stay meaningful.
+        raw = jnp.round(sb.costmap.data * 255.0).clip(0, 255)
+        sb = sb._replace(costmap=sb.costmap.replace(
+            data=raw.astype(jnp.float32) / 255.0))
     fsb = None
     gold_cmds = None
     if not args.no_fidelity:
         fsb = make_scenario_batch(base, args.fidelity_batch, seed=3,
                                   map_size=args.map_size, plan_points=64)
+        if args.u8:
+            raw = jnp.round(fsb.costmap.data * 255.0).clip(0, 255)
+            fsb = fsb._replace(costmap=fsb.costmap.replace(
+                data=raw.astype(jnp.float32) / 255.0))
         gold_cfg = base.replace(solver_max_iters=40,
                                 solver_ls_backtrack=0.5,
                                 solver_max_backtracks=16,
                                 solver_ls_coarse_after=0,
                                 solver_ls_warm_alpha=False,
+                                solver_costmap_u8=False,
                                 qp_iters=60)
         gsim = jax.jit(lambda b, t: batch_simulate(gold_cfg, b, t),
                        static_argnums=1)

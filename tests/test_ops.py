@@ -185,6 +185,40 @@ class TestCostmapFlatView:
         np.testing.assert_array_equal(np.asarray(s0(wx, wy)),
                                       np.asarray(s1(wx, wy)))
 
+    def test_u8_gather_bit_identical_on_raw_grid(self):
+        """flat_u8 sampling (cfg.solver_costmap_u8) decodes u8/255.0 — the
+        exact encode of Costmap.from_nav2_costmap — so for raw-grid maps the
+        sampler values are bit-identical to the f32 gather, including the
+        ==1.0 lethal cells and out-of-bounds lethality."""
+        from neo_mpc_planner2_tpu.ops.costmap import make_point_sampler
+
+        rng = np.random.default_rng(7)
+        raw = rng.integers(0, 256, (48, 64)).astype(np.uint8)
+        raw[10:14, 20:24] = 255  # lethal block must survive the roundtrip
+        cm = mpc.Costmap.from_nav2_costmap(raw, origin=(-1.0, -1.0),
+                                           resolution=0.05)
+        wx = jnp.asarray(rng.uniform(-1.5, 2.5, 128), jnp.float32)
+        wy = jnp.asarray(rng.uniform(-1.5, 2.5, 128), jnp.float32)
+        sf = make_point_sampler(cm.with_flat(), wx[0], wy[0], 0)
+        su = make_point_sampler(cm.with_flat(u8=True), wx[0], wy[0], 0)
+        np.testing.assert_array_equal(np.asarray(sf(wx, wy)),
+                                      np.asarray(su(wx, wy)))
+
+    def test_u8_gather_quantization_bound_off_grid(self):
+        """Maps with arbitrary float values quantize to the nearest /255 step:
+        error <= 1/510 (the documented opt-in semantics)."""
+        from neo_mpc_planner2_tpu.ops.costmap import make_point_sampler
+
+        rng = np.random.default_rng(8)
+        data = rng.uniform(0, 1, (32, 32)).astype(np.float32)
+        cm = mpc.Costmap.create(data, origin=(0.0, 0.0), resolution=0.05)
+        wx = jnp.asarray(rng.uniform(0.0, 1.6, 64), jnp.float32)
+        wy = jnp.asarray(rng.uniform(0.0, 1.6, 64), jnp.float32)
+        sf = make_point_sampler(cm.with_flat(), wx[0], wy[0], 0)
+        su = make_point_sampler(cm.with_flat(u8=True), wx[0], wy[0], 0)
+        diff = np.abs(np.asarray(sf(wx, wy)) - np.asarray(su(wx, wy)))
+        assert diff.max() <= 1.0 / 510.0 + 1e-7
+
     def test_batched_with_flat(self):
         rng = np.random.default_rng(6)
         data = rng.uniform(0, 1, (4, 32, 32)).astype(np.float32)

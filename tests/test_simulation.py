@@ -276,3 +276,23 @@ class TestDynamicObstacles:
         run_s = jax.jit(lambda b: batch_simulate(cfg, b, 40))(static_sb)
         np.testing.assert_allclose(np.asarray(run_d.cmds),
                                    np.asarray(run_s.cmds), atol=2e-6)
+
+
+def test_u8_gather_commands_identical_on_raw_grid(sim_cfg):
+    """cfg.solver_costmap_u8 routes the solver's merit-eval gather through
+    the uint8 raw-scale companion buffer. On maps whose values lie on the
+    /255 grid (every nav2-sourced map) the decoded costs are bit-identical,
+    so the whole closed loop must produce identical commands."""
+    cfg = sim_cfg.replace(w_costmap=0.5)
+    sb = make_scenario_batch(cfg, 4, seed=11, map_size=64, plan_points=48)
+    # Snap the synthetic float maps onto the nav2 raw /255 grid.
+    raw = jnp.round(sb.costmap.data * 255.0).clip(0, 255)
+    grid_cm = sb.costmap.replace(data=raw.astype(jnp.float32) / 255.0)
+    sb = sb._replace(costmap=grid_cm)
+    run_f = jax.jit(lambda b: batch_simulate(cfg, b, 30))(sb)
+    run_u = jax.jit(lambda b: batch_simulate(
+        cfg.replace(solver_costmap_u8=True), b, 30))(sb)
+    np.testing.assert_array_equal(np.asarray(run_f.cmds),
+                                  np.asarray(run_u.cmds))
+    np.testing.assert_array_equal(np.asarray(run_f.poses),
+                                  np.asarray(run_u.poses))

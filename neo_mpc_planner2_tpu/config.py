@@ -140,8 +140,11 @@ class MpcConfig:
     # the exact encode expression of Costmap.from_nav2_costmap, so costs are
     # BIT-IDENTICAL for any map whose values lie on the raw /255 grid (all
     # nav2-sourced maps); maps with off-grid float values quantize to the
-    # nearest /255 step (<= 1/510 error) — hence opt-in.
-    solver_costmap_u8: bool = False
+    # nearest /255 step (<= 1/510 error) — hence opt-in. "auto" enables it
+    # only for maps of >= 128² cells, the measured crossover where the
+    # smaller footprint wins (+12 % at 128², -12 % at 64²; PERF.md round 5)
+    # — for deployments that know their maps are nav2 raw-grid sourced.
+    solver_costmap_u8: "bool | str" = False
     # Lockstep-tail compaction for the BATCHED solve paths (MpcEngine
     # .batch_step / batch_simulate): after `solver_compact_after` full-batch
     # SQP iterations, if at most ceil(B·solver_compact_frac) lanes are still

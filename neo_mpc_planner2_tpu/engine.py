@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from .config import MpcConfig
-from .ops.costmap import Costmap, cost_at_world
+from .ops.costmap import Costmap, cost_at_world, u8_source_enabled
 from .ops.footprint import Footprint, footprint_cost, transform_footprint
 from .ops.objective import Scenario, make_objective
 from .ops.pursuit import Plan, pursuit_tick
@@ -313,9 +313,11 @@ def make_batched_controller_step(cfg: MpcConfig, parity: bool = True,
         # otherwise pays the (H, W) -> (H*W,) relayout copy at its own
         # consumption site (ops.costmap.Costmap.flat). Callers that loop
         # ticks (batch_simulate) hoist it once outside their scan instead.
-        if costmap.flat is None or (cfg.solver_costmap_u8
-                                    and costmap.flat_u8 is None):
-            costmap = costmap.with_flat(u8=cfg.solver_costmap_u8)
+        u8 = u8_source_enabled(
+            cfg.solver_costmap_u8,
+            costmap.data.shape[-2] * costmap.data.shape[-1])
+        if costmap.flat is None or (u8 and costmap.flat_u8 is None):
+            costmap = costmap.with_flat(u8=u8)
 
         def pre(st, p, rp, cv, cm, fp, lim):
             pr, scen, st2 = _tick_pre(cfg, st, p, rp, cv, cm, fp, lim)

@@ -26,12 +26,36 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 
-__all__ = ["Costmap", "CostmapPatch", "world_to_map", "cost_at_cell",
+__all__ = ["Costmap", "CostmapPatch", "u8_source_enabled", "world_to_map",
+           "cost_at_cell",
            "cost_at_world", "cost_at_cells_onehot", "cost_at_world_onehot",
            "cost_at_world_bilinear", "extract_patch", "patch_cost_at_world",
            "required_patch_halfwidth"]
 
 LETHAL_COST = 1.0
+
+# Crossover for solver_costmap_u8="auto": the u8 gather source was measured
+# (PERF.md round 5) to LOSE ~12 % at 64² maps (the convert+divide costs more
+# than the smaller random-read footprint saves) and WIN ~12 % at 128² maps
+# (where the gather is footprint-bound). 128² is the measured break-even side.
+U8_AUTO_MIN_CELLS = 128 * 128
+
+
+def u8_source_enabled(solver_costmap_u8, cells: int) -> bool:
+    """Resolve the cfg.solver_costmap_u8 knob against a concrete map size.
+
+    `cells` is the number of cells of the map the solver actually samples
+    (H*W; for rolling-window runs, the window, not the world map). "auto"
+    turns the uint8 gather source on only for maps of >= 128² cells — the
+    measured crossover where the 4x-smaller random-read footprint starts
+    winning (PERF.md). The exactness caveat is unchanged: decode is u8/255.0
+    (bit-identical for nav2 raw-grid maps, <= 1/510 quantization for off-grid
+    float maps), so "auto" is an opt-in for grid-sourced deployments, not the
+    default.
+    """
+    if solver_costmap_u8 == "auto":
+        return int(cells) >= U8_AUTO_MIN_CELLS
+    return bool(solver_costmap_u8)
 
 
 @flax.struct.dataclass

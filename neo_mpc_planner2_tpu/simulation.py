@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from .config import MpcConfig
 from .engine import ControlState, controller_step, init_state
-from .ops.costmap import Costmap, world_to_map
+from .ops.costmap import Costmap, u8_source_enabled, world_to_map
 from .ops.footprint import Footprint
 from .ops.pursuit import Plan
 from .ops.rollout import rollout
@@ -74,11 +74,15 @@ def simulate_follow_path(
     sees only the (window_cells,)² rolling window re-centered on the robot
     each tick (nav2 rolling local costmap semantics)."""
     dt = jnp.float32(cfg.control_interval)
+    # Resolve the u8 gather-source knob against the map the solver samples
+    # (the rolling window when one is configured).
+    sampled_cells = (window_cells * window_cells if window_cells is not None
+                     else costmap.data.shape[-2] * costmap.data.shape[-1])
+    u8 = u8_source_enabled(cfg.solver_costmap_u8, sampled_cells)
     # Flat-view hoist: once per run, not once per tick (see batch_simulate).
     if window_cells is None:
-        if costmap.flat is None or (cfg.solver_costmap_u8
-                                    and costmap.flat_u8 is None):
-            costmap = costmap.with_flat(u8=cfg.solver_costmap_u8)
+        if costmap.flat is None or (u8 and costmap.flat_u8 is None):
+            costmap = costmap.with_flat(u8=u8)
 
     def tick(carry, _):
         state, pose, vel = carry
@@ -87,8 +91,7 @@ def simulate_follow_path(
         else:
             # Re-centered window is fresh data every tick; flatten it here so
             # the solver loop's gather view isn't re-materialized per trip.
-            cm = rolling_window(costmap, pose, window_cells).with_flat(
-                u8=cfg.solver_costmap_u8)
+            cm = rolling_window(costmap, pose, window_cells).with_flat(u8=u8)
         out = controller_step(cfg, state, plan, pose, vel, cm, footprint,
                               dt, parity=parity)
         cmd = out.cmd_vel
@@ -154,9 +157,11 @@ def batch_simulate(cfg: MpcConfig, scenario_batch, n_ticks: int,
     # outside the tick scan (inside, XLA re-runs the relayout every tick —
     # a 64 MB copy per tick at batch 4096; round-3 trace).
     costmap = sb.costmap
-    if costmap.flat is None or (cfg.solver_costmap_u8
-                                and costmap.flat_u8 is None):
-        costmap = costmap.with_flat(u8=cfg.solver_costmap_u8)
+    sampled_cells = (window_cells * window_cells if window_cells is not None
+                     else costmap.data.shape[-2] * costmap.data.shape[-1])
+    u8 = u8_source_enabled(cfg.solver_costmap_u8, sampled_cells)
+    if costmap.flat is None or (u8 and costmap.flat_u8 is None):
+        costmap = costmap.with_flat(u8=u8)
     if window_cells is not None:
         # world map; windows (re-)flatten per tick
         costmap = sb.costmap.replace(flat=None, flat_u8=None)
@@ -192,14 +197,12 @@ def batch_simulate(cfg: MpcConfig, scenario_batch, n_ticks: int,
                              obstacle_lethal_threshold,
                              origin=sb.costmap.origin)
             cm = Costmap(data=data, origin=sb.costmap.origin,
-                         resolution=sb.costmap.resolution).with_flat(
-                             u8=cfg.solver_costmap_u8)
+                         resolution=sb.costmap.resolution).with_flat(u8=u8)
         elif window_cells is None:
             cm = costmap
         else:
             cm = jax.vmap(rolling_window, in_axes=(0, 0, None))(
-                costmap, pose, window_cells).with_flat(
-                    u8=cfg.solver_costmap_u8)
+                costmap, pose, window_cells).with_flat(u8=u8)
         out = step(state, sb.plan, pose, vel, cm, sb.footprint, dts)
         cmd = out.cmd_vel
         new_pose = jax.vmap(lambda c, p: rollout(c[None, :], dt, p)[0])(cmd, pose)

@@ -296,3 +296,29 @@ def test_u8_gather_commands_identical_on_raw_grid(sim_cfg):
                                   np.asarray(run_u.cmds))
     np.testing.assert_array_equal(np.asarray(run_f.poses),
                                   np.asarray(run_u.poses))
+
+
+def test_u8_auto_resolves_by_map_size(sim_cfg):
+    """solver_costmap_u8="auto" keeps the f32 gather on small maps (where u8
+    measured slower) and switches to the u8 source at >= 128² cells; on a
+    raw-grid map both programs must agree bit-for-bit with the explicit
+    settings they resolve to."""
+    from neo_mpc_planner2_tpu.ops.costmap import (U8_AUTO_MIN_CELLS,
+                                                  u8_source_enabled)
+
+    assert not u8_source_enabled("auto", 64 * 64)
+    assert u8_source_enabled("auto", U8_AUTO_MIN_CELLS)
+    assert u8_source_enabled(True, 4)
+    assert not u8_source_enabled(False, 10**9)
+
+    cfg = sim_cfg.replace(w_costmap=0.5)
+    sb = make_scenario_batch(cfg, 2, seed=13, map_size=64, plan_points=48)
+    raw = jnp.round(sb.costmap.data * 255.0).clip(0, 255)
+    sb = sb._replace(costmap=sb.costmap.replace(
+        data=raw.astype(jnp.float32) / 255.0))
+    run_auto = jax.jit(lambda b: batch_simulate(
+        cfg.replace(solver_costmap_u8="auto"), b, 10))(sb)
+    run_off = jax.jit(lambda b: batch_simulate(cfg, b, 10))(sb)
+    # 64² map: auto resolves to the f32 source — identical program.
+    np.testing.assert_array_equal(np.asarray(run_auto.cmds),
+                                  np.asarray(run_off.cmds))

@@ -24,9 +24,41 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+import threading
 import time
 
 import numpy as np
+
+# The one JSON line, built incrementally as passes finish. The headline pass
+# is mandatory; every later pass is best-effort. A watchdog thread emits the
+# line shortly before the driver's hard timeout even if a later pass is stuck
+# in an uninterruptible tunnel fetch (signal handlers can't preempt a blocked
+# C call; a daemon thread can still print and _exit).
+_results: dict = {}
+_emitted = threading.Event()
+
+
+def _emit() -> None:
+    if _results.get("value") is not None and not _emitted.is_set():
+        _emitted.set()
+        print(json.dumps(_results), flush=True)
+
+
+def _watchdog(deadline_s: float, t_start: float) -> None:
+    remaining = deadline_s - (time.monotonic() - t_start)
+    if remaining > 0:
+        time.sleep(remaining)
+    if not _emitted.is_set():
+        if _results.get("value") is not None:
+            print("[bench] watchdog: deadline hit, emitting partial results",
+                  file=sys.stderr, flush=True)
+            _emit()
+            os._exit(0)
+        print("[bench] watchdog: deadline hit before the headline finished",
+              file=sys.stderr, flush=True)
+        os._exit(3)
 
 
 def main() -> None:
@@ -49,8 +81,21 @@ def main() -> None:
     # the measured crossover). For robustness points at --map-size 128.
     ap.add_argument("--costmap-u8", default="false",
                     choices=["false", "true", "auto"])
+    # Wall-clock budget: the watchdog emits whatever has been measured this
+    # many seconds in (the driver runs bench.py under `timeout 590`; default
+    # leaves ~30 s of slack). Optional passes are also skipped up-front when
+    # the remaining budget can't plausibly fit them.
+    ap.add_argument("--deadline", type=float,
+                    default=float(os.environ.get("BENCH_DEADLINE_S", "560")))
     args = ap.parse_args()
     costmap_u8 = {"false": False, "true": True, "auto": "auto"}[args.costmap_u8]
+
+    t_start = time.monotonic()
+    threading.Thread(target=_watchdog, args=(args.deadline, t_start),
+                     daemon=True).start()
+
+    def remaining() -> float:
+        return args.deadline - (time.monotonic() - t_start)
 
     import jax
     import jax.numpy as jnp
@@ -125,9 +170,38 @@ def main() -> None:
         run = sim(sb, *cold, args.ticks)
         sync(run.cmds)
         sim_s = min(sim_s, time.perf_counter() - t0)
-    import sys as _sys
-    print(f"[bench] headline done in {sim_s:.2f}s", file=_sys.stderr)
+    print(f"[bench] headline done in {sim_s:.2f}s", file=sys.stderr)
     solves_per_sec_per_chip = args.batch * args.ticks / sim_s / n_dev
+
+    # Fraction of (lane, tick) solves cut by the solver_max_iters cap before
+    # declaring convergence — the price of the cap-8 operating point.
+    unconverged_frac = float(1.0 - jnp.mean(
+        jnp.asarray(run.converged, jnp.float32)))
+
+    # The headline is in hand: publish it (plus None placeholders) so the
+    # watchdog / a failed later pass still yields a complete JSON schema.
+    _results.update({
+        "metric": "MPC solves/sec/chip (horizon 0.8s, 3 steps, closed loop)",
+        "value": round(solves_per_sec_per_chip, 1),
+        "unit": "solves/s/chip",
+        "vs_baseline": round(solves_per_sec_per_chip / 50.0, 2),
+        "batch": args.batch,
+        "ticks": args.ticks,
+        "map_size": args.map_size,
+        "costmap_u8": args.costmap_u8,
+        "devices": n_dev,
+        "cold_batch_step_ms": None,
+        "single_robot_tick_ms": None,
+        "blocking_rtt_p99_ms": None,
+        "device_p99_ms": None,
+        "quality_ticks": None,
+        "goal_reached_frac": None,
+        "final_goal_dist_p50_m": None,
+        "unreached_blocked_frac": None,
+        "unconverged_frac": round(unconverged_frac, 4),
+        "default_fidelity_solves_per_sec": None,
+        "default_fidelity_unconverged_frac": None,
+    })
 
     # ---- trajectory quality: drive a goal-REACHABLE fleet to its goals by
     # chaining the SAME compiled executable (identical shapes; zero extra
@@ -146,33 +220,51 @@ def main() -> None:
     # without it, a ~1 m goal on the 3.2 m start-centered window leaves the
     # footprint corner poking into the lethal out-of-window band during the
     # small overshoot at goal capture, latching the plugin hard-stop.
-    qsb = make_scenario_batch(cfg, args.batch, seed=1, map_size=args.map_size,
-                              plan_points=64, plan_length_range=(0.7, 1.1),
-                              clear_corridor_m=0.55, center_on="plan",
-                              maps_on_device=True)
-    carry = (eng0.init_batch_state(args.batch), qsb.robot_pose,
-             qsb.current_vel)
-    quality_ticks = 0
-    while True:
-        q_run = sim(qsb, *carry, args.ticks)
-        carry = (q_run.final_state, q_run.poses[:, -1], q_run.cmds[:, -1])
-        quality_ticks += args.ticks
-        if quality_ticks >= args.quality_ticks:
-            break
-    final_dist = q_run.goal_dist[:, -1]
-    sync(final_dist)
-    reached = final_dist < 0.10
-    goal_reached_frac = float(jnp.mean(reached))
-    final_dist_p50 = float(jnp.percentile(final_dist, 50))
-    # Of the lanes that did NOT reach: how many ended stopped by a safety
-    # latch (predicted collision / lethal footprint)? Those are obstacle-
-    # blocked corridors, not plan-following failures.
-    blocked = q_run.collisions[:, -1] | q_run.lethal[:, -1]
-    n_unreached = float(jnp.sum(~reached))
-    unreached_blocked_frac = float(
-        jnp.sum(blocked & ~reached) / jnp.maximum(n_unreached, 1.0))
-    print(f"[bench] quality pass done ({quality_ticks} ticks)",
-          file=_sys.stderr)
+    try:
+        qsb = make_scenario_batch(cfg, args.batch, seed=1,
+                                  map_size=args.map_size,
+                                  plan_points=64, plan_length_range=(0.7, 1.1),
+                                  clear_corridor_m=0.55, center_on="plan",
+                                  maps_on_device=True)
+        carry = (eng0.init_batch_state(args.batch), qsb.robot_pose,
+                 qsb.current_vel)
+        quality_ticks = 0
+        while True:
+            q_run = sim(qsb, *carry, args.ticks)
+            carry = (q_run.final_state, q_run.poses[:, -1], q_run.cmds[:, -1])
+            quality_ticks += args.ticks
+            if quality_ticks >= args.quality_ticks:
+                break
+            # Each chained segment reuses the headline executable; keep
+            # chaining only while the budget still fits a segment + the
+            # remaining passes (a partial-horizon quality figure is still a
+            # quality figure — quality_ticks reports the horizon actually run).
+            if remaining() < 3 * sim_s + 60:
+                print("[bench] quality pass truncated by deadline",
+                      file=sys.stderr)
+                break
+        final_dist = q_run.goal_dist[:, -1]
+        sync(final_dist)
+        reached = final_dist < 0.10
+        goal_reached_frac = float(jnp.mean(reached))
+        final_dist_p50 = float(jnp.percentile(final_dist, 50))
+        # Of the lanes that did NOT reach: how many ended stopped by a safety
+        # latch (predicted collision / lethal footprint)? Those are obstacle-
+        # blocked corridors, not plan-following failures.
+        blocked = q_run.collisions[:, -1] | q_run.lethal[:, -1]
+        n_unreached = float(jnp.sum(~reached))
+        unreached_blocked_frac = float(
+            jnp.sum(blocked & ~reached) / jnp.maximum(n_unreached, 1.0))
+        _results.update({
+            "quality_ticks": quality_ticks,
+            "goal_reached_frac": round(goal_reached_frac, 4),
+            "final_goal_dist_p50_m": round(final_dist_p50, 3),
+            "unreached_blocked_frac": round(unreached_blocked_frac, 4),
+        })
+        print(f"[bench] quality pass done ({quality_ticks} ticks)",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] quality pass failed: {e!r}", file=sys.stderr)
 
     # ---- default-fidelity throughput: the SHIPPED default operating point
     # (solver_max_iters=40 — every lane runs to convergence; straggler lanes
@@ -181,69 +273,99 @@ def main() -> None:
     # True library defaults for the solver knobs (single-phase 0.5^j Armijo,
     # full budget) so this row measures the SHIPPED default program, not the
     # headline operating point.
-    cfg40 = cfg.replace(solver_max_iters=40, solver_max_backtracks=16,
-                        solver_ls_coarse_after=0)
-    sim40 = jax.jit(lambda b, t: batch_simulate(cfg40, b, t), static_argnums=1)
-    run40 = sim40(sb, args.ticks)
-    sync(run40.cmds)
-    s40 = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
+    try:
+        if remaining() < 120:
+            raise TimeoutError("skipped: <120 s of budget left "
+                               "(needs a fresh compile)")
+        cfg40 = cfg.replace(solver_max_iters=40, solver_max_backtracks=16,
+                            solver_ls_coarse_after=0)
+        sim40 = jax.jit(lambda b, t: batch_simulate(cfg40, b, t),
+                        static_argnums=1)
         run40 = sim40(sb, args.ticks)
         sync(run40.cmds)
-        s40 = min(s40, time.perf_counter() - t0)
-    default_fidelity_sps = args.batch * args.ticks / s40 / n_dev
-    default_unconv = float(1.0 - jnp.mean(
-        jnp.asarray(run40.converged, jnp.float32)))
-    print(f"[bench] default-fidelity (max_iters=40) done in {s40:.1f}s",
-          file=_sys.stderr)
+        s40 = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run40 = sim40(sb, args.ticks)
+            sync(run40.cmds)
+            s40 = min(s40, time.perf_counter() - t0)
+        default_fidelity_sps = args.batch * args.ticks / s40 / n_dev
+        default_unconv = float(1.0 - jnp.mean(
+            jnp.asarray(run40.converged, jnp.float32)))
+        _results.update({
+            "default_fidelity_solves_per_sec": round(default_fidelity_sps, 1),
+            "default_fidelity_unconverged_frac": round(default_unconv, 4),
+        })
+        print(f"[bench] default-fidelity (max_iters=40) done in {s40:.1f}s",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] default-fidelity pass failed: {e!r}", file=sys.stderr)
 
     # ---- cold-start batched step (zero warm starts, full solver work) ----
     eng = eng0
-    out = eng.batch_step(sb.state, sb.plan, sb.robot_pose, sb.current_vel,
-                         sb.costmap, sb.footprint, sb.delta_t)
-    sync(out.cmd_vel)
-    reps = 5
-    t0 = time.perf_counter()
-    for _ in range(reps):
+    try:
+        if remaining() < 90:
+            raise TimeoutError("skipped: <90 s of budget left")
         out = eng.batch_step(sb.state, sb.plan, sb.robot_pose, sb.current_vel,
                              sb.costmap, sb.footprint, sb.delta_t)
         sync(out.cmd_vel)
-    cold_ms = (time.perf_counter() - t0) / reps * 1e3
-    print(f"[bench] cold done ({cold_ms:.1f} ms/step)", file=_sys.stderr)
+        reps = 5
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = eng.batch_step(sb.state, sb.plan, sb.robot_pose,
+                                 sb.current_vel, sb.costmap, sb.footprint,
+                                 sb.delta_t)
+            sync(out.cmd_vel)
+        cold_ms = (time.perf_counter() - t0) / reps * 1e3
+        _results["cold_batch_step_ms"] = round(cold_ms, 2)
+        print(f"[bench] cold done ({cold_ms:.1f} ms/step)", file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] cold pass failed: {e!r}", file=sys.stderr)
 
     # ---- single-robot latency ----
-    st1 = eng.init_batch_state(1)
-    take1 = lambda t: jax.tree.map(lambda x: x[:1], t)
-    a1 = (take1(sb.plan), sb.robot_pose[:1], sb.current_vel[:1],
-          take1(sb.costmap), take1(sb.footprint), sb.delta_t[:1])
-    o = eng.batch_step(st1, *a1)
-    sync(o.cmd_vel)
-    # Pipelined (state-threaded, one final sync per segment): sustained
-    # per-tick cost. Min over 3 full-length segments: the segment's single
-    # host fetch rides the tunnel, whose latency jitter (tens of ms on bad
-    # days) would otherwise land in this judge-visible number; segments stay
-    # args.latency_reps long so the one RTT amortizes to <1 ms/tick (same
-    # rationale as the headline's min-of-3).
-    st = o.state
-    pipelined_ms = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
+    single_ok = False
+    try:
+        if remaining() < 90:
+            raise TimeoutError("skipped: <90 s of budget left "
+                               "(needs a batch-1 compile)")
+        st1 = eng.init_batch_state(1)
+        take1 = lambda t: jax.tree.map(lambda x: x[:1], t)
+        a1 = (take1(sb.plan), sb.robot_pose[:1], sb.current_vel[:1],
+              take1(sb.costmap), take1(sb.footprint), sb.delta_t[:1])
+        o = eng.batch_step(st1, *a1)
+        sync(o.cmd_vel)
+        # Pipelined (state-threaded, one final sync per segment): sustained
+        # per-tick cost. Min over 3 full-length segments: the segment's single
+        # host fetch rides the tunnel, whose latency jitter (tens of ms on bad
+        # days) would otherwise land in this judge-visible number; segments
+        # stay args.latency_reps long so the one RTT amortizes to <1 ms/tick
+        # (same rationale as the headline's min-of-3).
+        st = o.state
+        pipelined_ms = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(args.latency_reps):
+                o = eng.batch_step(st, *a1)
+                st = o.state
+            sync(o.cmd_vel)
+            pipelined_ms = min(
+                pipelined_ms,
+                (time.perf_counter() - t0) / args.latency_reps * 1e3)
+        _results["single_robot_tick_ms"] = round(pipelined_ms, 3)
+        # Blocking round-trip p99 (result fetched to host every call — what a
+        # single-robot deployment pays per tick, transport included).
+        lats = []
         for _ in range(args.latency_reps):
+            t0 = time.perf_counter()
             o = eng.batch_step(st, *a1)
-            st = o.state
-        sync(o.cmd_vel)
-        pipelined_ms = min(pipelined_ms,
-                           (time.perf_counter() - t0) / args.latency_reps * 1e3)
-    # Blocking round-trip p99 (result fetched to host every call — what a
-    # single-robot deployment pays per tick, transport included).
-    lats = []
-    for _ in range(args.latency_reps):
-        t0 = time.perf_counter()
-        o = eng.batch_step(st, *a1)
-        sync(o.cmd_vel)
-        lats.append(time.perf_counter() - t0)
-    rtt_p99_ms = float(np.percentile(np.array(lats) * 1e3, 99))
+            sync(o.cmd_vel)
+            lats.append(time.perf_counter() - t0)
+        rtt_p99_ms = float(np.percentile(np.array(lats) * 1e3, 99))
+        _results["blocking_rtt_p99_ms"] = round(rtt_p99_ms, 2)
+        single_ok = True
+    except Exception as e:
+        print(f"[bench] single-robot latency pass failed: {e!r}",
+              file=sys.stderr)
 
     # Device-time-only p99 for the same single-robot step, from the
     # profiler's device lane (host timings through the tunnel are
@@ -253,10 +375,11 @@ def main() -> None:
     from neo_mpc_planner2_tpu.utils.profiling import (
         device_module_durations_ms, device_trace)
 
-    import sys
-
-    device_p99_ms = None
     try:
+        if not single_ok:
+            raise TimeoutError("skipped: single-robot pass did not complete")
+        if remaining() < 60:
+            raise TimeoutError("skipped: <60 s of budget left")
         print("[bench] tracing device step times...", file=sys.stderr)
         with tempfile.TemporaryDirectory() as td:
             with device_trace(td):
@@ -270,41 +393,12 @@ def main() -> None:
             # with the most executions and drop the first (warm-up noise).
             durs = max(mods.values(), key=len)[1:]
             if durs:
-                device_p99_ms = float(np.percentile(np.array(durs), 99))
+                _results["device_p99_ms"] = round(
+                    float(np.percentile(np.array(durs), 99)), 3)
     except Exception as e:  # profiling is best-effort; the line must print
         print(f"[bench] device trace failed: {e!r}", file=sys.stderr)
 
-    # Fraction of (lane, tick) solves cut by the solver_max_iters cap before
-    # declaring convergence — the price of the cap-8 operating point.
-    unconverged_frac = float(1.0 - jnp.mean(
-        jnp.asarray(run.converged, jnp.float32)))
-    print(json.dumps({
-        "metric": "MPC solves/sec/chip (horizon 0.8s, 3 steps, closed loop)",
-        "value": round(solves_per_sec_per_chip, 1),
-        "unit": "solves/s/chip",
-        "vs_baseline": round(solves_per_sec_per_chip / 50.0, 2),
-        "batch": args.batch,
-        "ticks": args.ticks,
-        "map_size": args.map_size,
-        "costmap_u8": args.costmap_u8,
-        "devices": n_dev,
-        "cold_batch_step_ms": round(cold_ms, 2),
-        "single_robot_tick_ms": round(pipelined_ms, 3),
-        "blocking_rtt_p99_ms": round(rtt_p99_ms, 2),
-        "device_p99_ms": (round(device_p99_ms, 3)
-                          if device_p99_ms is not None else None),
-        "quality_ticks": quality_ticks,
-        "goal_reached_frac": round(goal_reached_frac, 4),
-        "final_goal_dist_p50_m": round(final_dist_p50, 3),
-        # Of non-reaching lanes, the fraction stopped by a safety latch
-        # (obstacle-blocked corridor) rather than still en route.
-        "unreached_blocked_frac": round(unreached_blocked_frac, 4),
-        "unconverged_frac": round(unconverged_frac, 4),
-        # The shipped library default (max_iters=40, tail compaction):
-        # every lane converges; no iteration-cap cut.
-        "default_fidelity_solves_per_sec": round(default_fidelity_sps, 1),
-        "default_fidelity_unconverged_frac": round(default_unconv, 4),
-    }))
+    _emit()
 
 
 if __name__ == "__main__":

@@ -81,6 +81,10 @@ def main() -> None:
     # the measured crossover). For robustness points at --map-size 128.
     ap.add_argument("--costmap-u8", default="false",
                     choices=["false", "true", "auto"])
+    # Horizon-robustness point: control steps over the same 0.8 s horizon
+    # (3 is the reference sample config; 5 exercises the m=15 QP/Cholesky
+    # Pallas kernels end-to-end).
+    ap.add_argument("--control-steps", type=int, default=3)
     # Wall-clock budget: the watchdog emits whatever has been measured this
     # many seconds in (the driver runs bench.py under `timeout 590`; default
     # leaves ~30 s of slack). Optional passes are also skipped up-front when
@@ -110,7 +114,8 @@ def main() -> None:
     from neo_mpc_planner2_tpu.simulation import batch_simulate
 
     cfg = mpc.default_config().replace(
-        prediction_horizon=0.8, control_steps=3, opt_tolerance=1e-3,
+        prediction_horizon=0.8, control_steps=args.control_steps,
+        opt_tolerance=1e-3,
         footprint_edge_samples=16, max_plan_points=64,
         # Operating point: cap lockstep SQP iterations at 8. Warm lanes
         # converge in <=4; only cold/tail lanes get cut, and (like the
@@ -181,7 +186,8 @@ def main() -> None:
     # The headline is in hand: publish it (plus None placeholders) so the
     # watchdog / a failed later pass still yields a complete JSON schema.
     _results.update({
-        "metric": "MPC solves/sec/chip (horizon 0.8s, 3 steps, closed loop)",
+        "metric": "MPC solves/sec/chip (horizon 0.8s, closed loop)",
+        "control_steps": args.control_steps,
         "value": round(solves_per_sec_per_chip, 1),
         "unit": "solves/s/chip",
         "vs_baseline": round(solves_per_sec_per_chip / 50.0, 2),

@@ -89,6 +89,46 @@ def main() -> None:
             if dist < 0.08:
                 print(f"reached goal at tick {tick} (dist {dist:.3f} m)")
                 break
+
+        # Fleet serving: the same server drives N robots per request as one
+        # batched device dispatch (op: optimizer_batch), each robot keeping
+        # its own warm-start lane. The reference needs a server process per
+        # robot; here three robots cost one solve round-trip per tick.
+        print("\nfleet serving (3 robots, one request per tick):")
+        fleet = [{"pose": [0.0, 0.1 * i, 0.0], "vel": [0.0, 0.0, 0.0],
+                  "goal": [0.8, 0.3 - 0.2 * i, 0.0]} for i in range(3)]
+        for tick in range(120):
+            robots = []
+            for r in fleet:
+                dxy = [r["goal"][0] - r["pose"][0], r["goal"][1] - r["pose"][1],
+                       r["goal"][2] - r["pose"][2]]
+                c, s = math.cos(-r["pose"][2]), math.sin(-r["pose"][2])
+                robots.append({
+                    "current_pose": r["pose"],
+                    "carrot_pose": [dxy[0] * c - dxy[1] * s,
+                                    dxy[0] * s + dxy[1] * c, dxy[2]],
+                    "goal_pose": r["goal"], "current_vel": r["vel"],
+                    "control_interval": dt})
+            rsp = cli.call({"op": "optimizer_batch", "robots": robots,
+                            "delta_t": dt})
+            dists = []
+            for r, res in zip(fleet, rsp["results"]):
+                v = res["output_vel"]
+                r["vel"] = v
+                p = r["pose"]
+                r["pose"] = [p[0] + dt * (v[0] * math.cos(p[2])
+                                          - v[1] * math.sin(p[2])),
+                             p[1] + dt * (v[0] * math.sin(p[2])
+                                          + v[1] * math.cos(p[2])),
+                             p[2] + dt * v[2]]
+                dists.append(math.hypot(r["goal"][0] - r["pose"][0],
+                                        r["goal"][1] - r["pose"][1]))
+            if tick % 20 == 0:
+                print(f"tick {tick:3d}  dists " +
+                      " ".join(f"{d:.3f}" for d in dists))
+            if max(dists) < 0.08:
+                print(f"all 3 robots reached their goals at tick {tick}")
+                break
         cli.close()
     finally:
         server.terminate()

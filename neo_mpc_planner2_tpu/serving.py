@@ -11,8 +11,19 @@ transport is a newline-delimited JSON protocol over TCP (no ROS, no DDS):
     {"op": "optimizer", "current_pose": [x,y,yaw], "carrot_pose": [x,y,yaw],
      "goal_pose": [x,y,yaw], "current_vel": [vx,vy,wz],
      "switch_opt": false, "control_interval": 0.033}
+    {"op": "optimizer_batch", "robots": [{<optimizer fields>}, ...],
+     "control_interval": 0.033}   # fleet tick: one device batch per call
     {"op": "reset"}        # new-mission reset (the reference restarts the node)
     {"op": "ping"}
+
+`optimizer_batch` is the fleet-serving path the reference has no analogue for
+(it is strictly one robot per server process): N robots sharing the staged
+costmap/footprint are solved as ONE batched device dispatch per tick, each
+with its own persistent warm-start/stuck-timer lane. Robots are positional —
+keep a stable order across calls; growing the fleet preserves existing lanes
+and initializes the new ones, shrinking drops the tail. The batch is padded to
+a power of two so fleet-size churn does not recompile. Response:
+{"results": [<per-robot optimizer response>, ...]}.
 
 Responses mirror the Optimizer.srv response: {"output_vel": [vx, vy, wz],
 ...diagnostics}. Requests are served strictly in order on one thread — the
@@ -79,6 +90,11 @@ class OptimizerSession:
         # thread for the whole solve (cpp:248-250).
         self.pipelined = pipelined
         self._pending = None
+        # Fleet-serving lane state: a batched ControlState whose leading dim is
+        # the padded fleet size (see op_optimizer_batch), plus the pipelined-
+        # mode pending result for the batch path.
+        self._fleet_state = None
+        self._fleet_pending = None
         self._rebuild()
 
     def _rebuild(self) -> None:
@@ -89,6 +105,24 @@ class OptimizerSession:
             return solve_step(cfg, state, scen, delta_t, solver=solver)
 
         self._step = jax.jit(step)
+
+        def fleet_step(state, poses, carrots, goals, vels, switch, ci,
+                       delta_t, costmap, footprint, weights, limits):
+            # costmap/footprint/weights/limits are closed over per lane (NOT
+            # vmapped and never returned), so the shared map is read in place
+            # instead of being broadcast-materialized B times.
+            def one(st, cp, ca, go, cv, so, ci1, dt):
+                scen = Scenario(
+                    current_pose=cp, carrot_pose=ca, goal_pose=go,
+                    current_vel=cv, footprint=footprint, costmap=costmap,
+                    switch_opt=so, weights=weights, control_interval=ci1,
+                    limits=limits)
+                return solve_step(cfg, st, scen, dt, solver=solver)
+
+            return jax.vmap(one)(state, poses, carrots, goals, vels, switch,
+                                 ci, delta_t)
+
+        self._fleet_step = jax.jit(fleet_step)
         # Weights/limits always travel as traced pytrees so runtime parameter
         # updates (RUNTIME_PARAMS) hit the same compiled executable.
         self._weights = Weights.from_config(cfg)
@@ -100,6 +134,11 @@ class OptimizerSession:
         if (self.state is None
                 or self.state.initial_guess.shape[0] != 3 * cfg.control_steps):
             self.state = init_state(cfg)
+        if (self._fleet_state is not None
+                and self._fleet_state.initial_guess.shape[-1]
+                != 3 * cfg.control_steps):
+            self._fleet_state = None
+            self._fleet_pending = None
 
     # ---- ops ----
     def op_configure(self, msg: dict) -> dict:
@@ -162,6 +201,8 @@ class OptimizerSession:
         self.state = init_state(self.cfg)
         self.last_time = 0.0
         self._pending = None
+        self._fleet_state = None
+        self._fleet_pending = None
         return {"ok": True}
 
     def op_ping(self, msg: dict) -> dict:
@@ -220,6 +261,102 @@ class OptimizerSession:
             "collision_footprint": bool(out.collision_footprint),
             "local_plan": np.asarray(out.local_plan).tolist(),
         }
+
+    def _resize_fleet(self, pad: int) -> None:
+        """Grow/shrink the persistent lane state to `pad` lanes: existing
+        lanes keep their warm starts/timers (positional identity), new lanes
+        start from init_state."""
+        fresh = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (pad,) + x.shape),
+            init_state(self.cfg))
+        old = self._fleet_state
+        if old is None:
+            self._fleet_state = fresh
+            return
+        keep = min(int(old.initial_guess.shape[0]), pad)
+        self._fleet_state = jax.tree.map(
+            lambda f, o: f.at[:keep].set(o[:keep]), fresh, old)
+        self._fleet_pending = None  # pending batch has the old lane layout
+
+    def op_optimizer_batch(self, msg: dict) -> dict:
+        """Fleet tick: N robots sharing the staged costmap/footprint solved as
+        one batched device dispatch. See the module docstring for semantics."""
+        if self.costmap is None:
+            return {"error": "no costmap set"}
+        if self.footprint is None:
+            return {"error": "no footprint set"}
+        robots = msg.get("robots", [])
+        n = len(robots)
+        if n == 0:
+            return {"error": "empty robots list"}
+        # Pad the batch to a power of two (min 4): fleet-size churn then reuses
+        # the compiled executable instead of retracing per size.
+        pad = 4
+        while pad < n:
+            pad *= 2
+        if (self._fleet_state is None
+                or int(self._fleet_state.initial_guess.shape[0]) != pad):
+            self._resize_fleet(pad)
+
+        def field(name, width, default=None):
+            rows = np.zeros((pad, width), np.float32)
+            for i, r in enumerate(robots):
+                rows[i] = np.asarray(
+                    r[name] if default is None else r.get(name, default),
+                    np.float32)
+            return jnp.asarray(rows)
+
+        default_ci = float(msg.get("control_interval",
+                                   self.cfg.control_interval))
+        ci = np.full((pad,), default_ci, np.float32)
+        switch = np.zeros((pad,), bool)
+        for i, r in enumerate(robots):
+            ci[i] = float(r.get("control_interval", default_ci))
+            switch[i] = bool(r.get("switch_opt", False))
+        if "delta_t" in msg:
+            delta_t = float(msg["delta_t"])
+        else:
+            now = time.time()
+            delta_t = now - self.last_time
+            self.last_time = now
+
+        out = self._fleet_step(
+            self._fleet_state,
+            field("current_pose", 3), field("carrot_pose", 3),
+            field("goal_pose", 3), field("current_vel", 3),
+            jnp.asarray(switch), jnp.asarray(ci),
+            jnp.full((pad,), delta_t, jnp.float32),
+            self.costmap, self.footprint, self._weights, self._limits)
+        self._fleet_state = out.state
+
+        if self.pipelined:
+            prev, self._fleet_pending = self._fleet_pending, (out, n)
+            if prev is None or prev[1] != n:
+                zero_plan = np.zeros(
+                    (self.cfg.control_steps + 1, 3)).tolist()
+                return {"results": [
+                    {"output_vel": [0.0, 0.0, 0.0], "success": True,
+                     "iterations": 0, "cost": 0.0, "collision": False,
+                     "collision_footprint": False, "pipelined_warmup": True,
+                     "local_plan": zero_plan} for _ in range(n)]}
+            out, n = prev
+
+        # One host fetch per field (batched), then slice off the pad lanes.
+        cmd = np.asarray(out.cmd_vel)
+        conv = np.asarray(out.solver_converged)
+        iters = np.asarray(out.solver_iters)
+        fun = np.asarray(out.fun)
+        coll = np.asarray(out.collision)
+        collfp = np.asarray(out.collision_footprint)
+        lp = np.asarray(out.local_plan)
+        return {"results": [
+            {"output_vel": cmd[i].tolist(),
+             "success": bool(conv[i]),
+             "iterations": int(iters[i]),
+             "cost": float(fun[i]),
+             "collision": bool(coll[i]),
+             "collision_footprint": bool(collfp[i]),
+             "local_plan": lp[i].tolist()} for i in range(n)]}
 
     def handle(self, msg: dict) -> dict:
         op = msg.get("op")

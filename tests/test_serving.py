@@ -152,3 +152,99 @@ def test_partial_reconfigure_merges(cfg):
     assert s.cfg.max_vel_x == 0.3
     assert s.cfg.w_trans == 0.9          # untouched by the partial update
     assert s.cfg.control_steps == cfg.control_steps
+
+
+class TestFleetBatch:
+    """op_optimizer_batch: N robots sharing the staged costmap/footprint
+    solved as one batched device dispatch with persistent per-lane state."""
+
+    def _robot(self, i):
+        return {"current_pose": [0.05 * i, 0, 0],
+                "carrot_pose": [0.4, 0.1 - 0.05 * i, 0.2],
+                "goal_pose": [1.0, 0.5, 0.3],
+                "current_vel": [0.3, 0, 0],
+                "control_interval": 0.033}
+
+    def test_matches_single_robot_sessions(self, cfg):
+        """Every fleet lane must produce what a dedicated single-robot session
+        produces for the same request stream (vmap-vs-unbatched float fusion
+        may reassociate; commands agree to 1e-5)."""
+        stage = [
+            {"op": "set_costmap", "data": np.zeros((40, 40)).tolist(),
+             "origin": [-1, -1], "resolution": 0.05},
+            {"op": "set_footprint",
+             "points": [[0.3, 0.2], [-0.3, 0.2], [-0.3, -0.2], [0.3, -0.2]]},
+        ]
+        fleet = OptimizerSession(cfg)
+        for m in stage:
+            fleet.handle(m)
+        singles = []
+        for i in range(3):
+            s = OptimizerSession(cfg)
+            for m in stage:
+                s.handle(m)
+            singles.append(s)
+        for tick in range(3):
+            r = fleet.handle({"op": "optimizer_batch", "delta_t": 0.033,
+                              "robots": [self._robot(i) for i in range(3)]})
+            assert len(r["results"]) == 3
+            for i, s in enumerate(singles):
+                req = dict(self._robot(i))
+                req.update({"op": "optimizer", "delta_t": 0.033})
+                ri = s.handle(req)
+                np.testing.assert_allclose(
+                    r["results"][i]["output_vel"], ri["output_vel"],
+                    atol=1e-5)
+                assert r["results"][i]["collision"] == ri["collision"]
+
+    def test_resize_preserves_existing_lanes(self, cfg):
+        fleet = OptimizerSession(cfg)
+        fleet.handle({"op": "set_costmap", "data": np.zeros((40, 40)).tolist(),
+                      "origin": [-1, -1], "resolution": 0.05})
+        fleet.handle({"op": "set_footprint",
+                      "points": [[0.3, 0.2], [-0.3, 0.2], [-0.3, -0.2],
+                                 [0.3, -0.2]]})
+        fleet.handle({"op": "optimizer_batch", "delta_t": 0.033,
+                      "robots": [self._robot(i) for i in range(3)]})
+        warm = np.asarray(fleet._fleet_state.initial_guess)[:3].copy()
+        assert np.abs(warm).sum() > 0
+        # Grow 3 -> 5: lanes 0-2 keep their warm starts, 3-4 start cold.
+        r = fleet.handle({"op": "optimizer_batch", "delta_t": 0.033,
+                          "robots": [self._robot(i) for i in range(5)]})
+        assert len(r["results"]) == 5
+        # Lane 3/4 first command is accel-clamped from zero last_control.
+        lim = cfg.acc_x_limit * 0.033
+        assert abs(r["results"][3]["output_vel"][0]) <= lim + 1e-5
+        # A continuing lane is not re-clamped to the first-tick ramp (its
+        # last_control is nonzero), so it moves past the fresh lanes.
+        assert (abs(r["results"][0]["output_vel"][0])
+                > abs(r["results"][3]["output_vel"][0]) - 1e-6)
+
+    def test_errors(self, cfg):
+        s = OptimizerSession(cfg)
+        assert "error" in s.handle({"op": "optimizer_batch",
+                                    "robots": [self._robot(0)]})
+        s.handle({"op": "set_costmap", "data": np.zeros((20, 20)).tolist(),
+                  "origin": [-0.5, -0.5], "resolution": 0.05})
+        s.handle({"op": "set_footprint",
+                  "points": [[0.1, 0.1], [-0.1, 0.1], [-0.1, -0.1],
+                             [0.1, -0.1]]})
+        assert "error" in s.handle({"op": "optimizer_batch", "robots": []})
+
+    def test_tcp_fleet_roundtrip(self, cfg):
+        ready = threading.Event()
+        t = threading.Thread(target=serve,
+                             args=("127.0.0.1", 7982, cfg, ready), daemon=True)
+        t.start()
+        assert ready.wait(10)
+        c = OptimizerClient(port=7982, wait_timeout=10)
+        c.call({"op": "set_costmap", "data": np.zeros((20, 20)).tolist(),
+                "origin": [-0.5, -0.5], "resolution": 0.05})
+        c.call({"op": "set_footprint",
+                "points": [[0.1, 0.1], [-0.1, 0.1], [-0.1, -0.1],
+                           [0.1, -0.1]]})
+        r = c.call({"op": "optimizer_batch", "delta_t": 0.033,
+                    "robots": [self._robot(i) for i in range(2)]})
+        assert len(r["results"]) == 2
+        assert all(len(x["output_vel"]) == 3 for x in r["results"])
+        c.close()

@@ -38,12 +38,17 @@ import numpy as np
 # C call; a daemon thread can still print and _exit).
 _results: dict = {}
 _emitted = threading.Event()
+_emit_lock = threading.Lock()
 
 
 def _emit() -> None:
-    if _results.get("value") is not None and not _emitted.is_set():
+    # Lock-protected test-and-set: the watchdog and the main thread can race
+    # here at the deadline; exactly one JSON line must print.
+    with _emit_lock:
+        if _results.get("value") is None or _emitted.is_set():
+            return
         _emitted.set()
-        print(json.dumps(_results), flush=True)
+    print(json.dumps(_results), flush=True)
 
 
 def _watchdog(deadline_s: float, t_start: float) -> None:
@@ -62,6 +67,16 @@ def _watchdog(deadline_s: float, t_start: float) -> None:
 
 
 def main() -> None:
+    # Any unhandled exception after the headline lands (e.g. a hung/failed
+    # late-pass import or fetch raising) must still print the measured JSON
+    # line (ADVICE round-2: the daemon watchdog dies with the main thread).
+    try:
+        _main()
+    finally:
+        _emit()
+
+
+def _main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--ticks", type=int, default=20)
@@ -81,6 +96,9 @@ def main() -> None:
     # the measured crossover). For robustness points at --map-size 128.
     ap.add_argument("--costmap-u8", default="false",
                     choices=["false", "true", "auto"])
+    # Adaptive lockstep compaction A/B (config.solver_compact_adaptive).
+    ap.add_argument("--compact-adaptive", default="true",
+                    choices=["true", "false"])
     # Horizon-robustness point: control steps over the same 0.8 s horizon
     # (3 is the reference sample config; 5 exercises the m=15 QP/Cholesky
     # Pallas kernels end-to-end).
@@ -113,26 +131,14 @@ def main() -> None:
     from neo_mpc_planner2_tpu.scenarios import make_scenario_batch
     from neo_mpc_planner2_tpu.simulation import batch_simulate
 
-    cfg = mpc.default_config().replace(
+    # The fleet operating point preset (cap-8, two-phase Armijo, adaptive
+    # compaction, u8-auto) — config.fleet_config documents each knob's
+    # PERF.md study; the bench measures exactly the preset a user gets.
+    cfg = mpc.fleet_config().replace(
         prediction_horizon=0.8, control_steps=args.control_steps,
         opt_tolerance=1e-3,
         footprint_edge_samples=16, max_plan_points=64,
-        # Operating point: cap lockstep SQP iterations at 8. Warm lanes
-        # converge in <=4; only cold/tail lanes get cut, and (like the
-        # reference on SLSQP failure, py:397-400) they warm-start from the
-        # raw solution next tick. Closed-loop progress and final goal
-        # distances are identical to max_iters=40 (PERF.md cap sweep).
-        solver_max_iters=8,
-        # Two-phase Armijo schedule: fine 0.5 grid for the first 2 trips
-        # (where almost every accepted alpha lives — fidelity), then 1/16
-        # per trip so reject-everything episodes at the control kink stop
-        # dragging the whole batch through 16 lockstep merit evals. Measured
-        # +18.7 % over single-phase at the same fidelity class as the cap-8
-        # point itself (command-diff p99 vs the cap-40 default program:
-        # 0.0039 vs 0.0022; 91.5 % of lanes within 0.01 everywhere —
-        # PERF.md round-3 line-search study).
-        solver_max_backtracks=7, solver_ls_coarse_after=2,
-        solver_ls_coarse_factor=0.0625,
+        solver_compact_adaptive=args.compact_adaptive == "true",
         min_vel_x=-0.7, min_vel_y=-0.7, min_vel_theta=-0.7,
         max_vel_x=0.7, max_vel_y=0.7, max_vel_trans=0.7, max_vel_theta=0.7,
         w_trans=0.82, w_orient=0.5, w_control=0.05, w_terminal=0.05,
@@ -178,13 +184,10 @@ def main() -> None:
     print(f"[bench] headline done in {sim_s:.2f}s", file=sys.stderr)
     solves_per_sec_per_chip = args.batch * args.ticks / sim_s / n_dev
 
-    # Fraction of (lane, tick) solves cut by the solver_max_iters cap before
-    # declaring convergence — the price of the cap-8 operating point.
-    unconverged_frac = float(1.0 - jnp.mean(
-        jnp.asarray(run.converged, jnp.float32)))
-
     # The headline is in hand: publish it (plus None placeholders) so the
     # watchdog / a failed later pass still yields a complete JSON schema.
+    # Published BEFORE the unconverged-frac device fetch below — that fetch
+    # can hang on the tunnel, and the watchdog must have a value to emit.
     _results.update({
         "metric": "MPC solves/sec/chip (horizon 0.8s, closed loop)",
         "control_steps": args.control_steps,
@@ -195,6 +198,7 @@ def main() -> None:
         "ticks": args.ticks,
         "map_size": args.map_size,
         "costmap_u8": args.costmap_u8,
+        "compact_adaptive": args.compact_adaptive,
         "devices": n_dev,
         "cold_batch_step_ms": None,
         "single_robot_tick_ms": None,
@@ -204,10 +208,98 @@ def main() -> None:
         "goal_reached_frac": None,
         "final_goal_dist_p50_m": None,
         "unreached_blocked_frac": None,
-        "unconverged_frac": round(unconverged_frac, 4),
+        "unconverged_frac": None,
         "default_fidelity_solves_per_sec": None,
         "default_fidelity_unconverged_frac": None,
+        "rolling_solves_per_sec": None,
+        "rolling_window_cells": None,
+        "dynamic_solves_per_sec": None,
+        "serving_tick_ms": None,
+        "serving_tick_p99_ms": None,
+        "serving_fleet64_per_robot_ms": None,
     })
+
+    # Fraction of (lane, tick) solves cut by the solver_max_iters cap before
+    # declaring convergence — the price of the cap-8 operating point.
+    try:
+        unconverged_frac = float(1.0 - jnp.mean(
+            jnp.asarray(run.converged, jnp.float32)))
+        _results["unconverged_frac"] = round(unconverged_frac, 4)
+    except Exception as e:
+        print(f"[bench] unconverged fetch failed: {e!r}", file=sys.stderr)
+
+    # ---- deployment regimes (VERDICT r02 missing #1): the reference's
+    # controller lives on a nav2 ROLLING local costmap (NeoMpcPlanner.cpp:
+    # 80-82 sizes the window from costmap_ros_, which re-centers every tick)
+    # and receives a FRESH costmap with every service call (cpp:240-250).
+    # Measure both closed-loop regimes on the chip, same batch/ticks as the
+    # headline so the deltas isolate the regime cost.
+    # Rolling: world map 2x the headline map; the solver samples a rolling
+    # (map_size,)² window re-centered per tick — same gather-source size as
+    # the headline, so the delta is the window extraction + re-flatten.
+    try:
+        if remaining() < 150:
+            raise TimeoutError("skipped: <150 s of budget left "
+                               "(needs a fresh compile)")
+        wsb = make_scenario_batch(cfg, args.batch, seed=2,
+                                  map_size=args.map_size * 2,
+                                  plan_points=64, maps_on_device=True)
+        simw = jax.jit(
+            lambda b, t: batch_simulate(cfg, b, t,
+                                        window_cells=args.map_size),
+            static_argnums=1)
+        runw = simw(wsb, args.ticks)
+        sync(runw.cmds)
+        sw = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            runw = simw(wsb, args.ticks)
+            sync(runw.cmds)
+            sw = min(sw, time.perf_counter() - t0)
+        _results["rolling_solves_per_sec"] = round(
+            args.batch * args.ticks / sw / n_dev, 1)
+        _results["rolling_window_cells"] = args.map_size
+        print(f"[bench] rolling-window pass done in {sw:.2f}s", file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] rolling-window pass failed: {e!r}", file=sys.stderr)
+
+    # Dynamic obstacles: the costmap is re-synthesized ON DEVICE every tick
+    # with linearly-moving blob centers — the batched equivalent of the fresh
+    # per-call costmap, and the scenario class the 3 s stuck-wait exists for.
+    try:
+        if remaining() < 150:
+            raise TimeoutError("skipped: <150 s of budget left "
+                               "(needs a fresh compile)")
+        import jax.numpy as _jnp
+        rngd = np.random.default_rng(3)
+        n_obs = 6
+        half = args.map_size * 0.05 / 2
+        dyn = (
+            _jnp.asarray(rngd.uniform(-half + 0.8, half - 0.3,
+                                      (args.batch, n_obs, 2)), _jnp.float32),
+            _jnp.asarray(rngd.uniform(0.3, 0.95, (args.batch, n_obs)),
+                         _jnp.float32),
+            _jnp.asarray(rngd.uniform(-0.25, 0.25, (args.batch, n_obs, 2)),
+                         _jnp.float32),
+        )
+        simd = jax.jit(
+            lambda b, c, a, v, t: batch_simulate(
+                cfg, b, t, dynamic_obstacles=(c, a, v)),
+            static_argnums=4)
+        rund = simd(sb, *dyn, args.ticks)
+        sync(rund.cmds)
+        sd = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rund = simd(sb, *dyn, args.ticks)
+            sync(rund.cmds)
+            sd = min(sd, time.perf_counter() - t0)
+        _results["dynamic_solves_per_sec"] = round(
+            args.batch * args.ticks / sd / n_dev, 1)
+        print(f"[bench] dynamic-obstacle pass done in {sd:.2f}s",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] dynamic-obstacle pass failed: {e!r}", file=sys.stderr)
 
     # ---- trajectory quality: drive a goal-REACHABLE fleet to its goals by
     # chaining the SAME compiled executable (identical shapes; zero extra
@@ -284,7 +376,8 @@ def main() -> None:
             raise TimeoutError("skipped: <120 s of budget left "
                                "(needs a fresh compile)")
         cfg40 = cfg.replace(solver_max_iters=40, solver_max_backtracks=16,
-                            solver_ls_coarse_after=0)
+                            solver_ls_coarse_after=0,
+                            solver_compact_adaptive=False)
         sim40 = jax.jit(lambda b, t: batch_simulate(cfg40, b, t),
                         static_argnums=1)
         run40 = sim40(sb, args.ticks)
@@ -306,6 +399,70 @@ def main() -> None:
               file=sys.stderr)
     except Exception as e:
         print(f"[bench] default-fidelity pass failed: {e!r}", file=sys.stderr)
+
+    # ---- serving layer end-to-end (VERDICT r02 missing #3): the reference's
+    # only published perf claim is ~50 Hz THROUGH the service hop
+    # (/root/reference/README.md:6). Run the TCP server in a thread (same
+    # process — the device is single-tenant) and drive it over a real
+    # socket, so the measured tick includes JSON marshalling + TCP + the
+    # per-tick host fetch. serving_tick_ms: median blocking single-robot
+    # tick; serving_fleet64_per_robot_ms: 64-robot batched tick / 64.
+    try:
+        if remaining() < 150:
+            raise TimeoutError("skipped: <150 s of budget left "
+                               "(needs two fresh compiles)")
+        import threading as _th
+
+        from neo_mpc_planner2_tpu.serving import OptimizerClient, serve
+        ready = _th.Event()
+        _th.Thread(target=serve, args=("127.0.0.1", 7975, cfg, ready),
+                   daemon=True).start()
+        ready.wait(10)
+        cl = OptimizerClient(port=7975, wait_timeout=10)
+        fp = [[0.365, 0.275], [-0.365, 0.275], [-0.365, -0.275],
+              [0.365, -0.275]]
+        half = args.map_size * 0.05 / 2
+        cl.call({"op": "set_costmap",
+                 "data": np.zeros((args.map_size, args.map_size)).tolist(),
+                 "origin": [-half, -half], "resolution": 0.05})
+        cl.call({"op": "set_footprint", "points": fp})
+        req = {"op": "optimizer", "current_pose": [0, 0, 0],
+               "carrot_pose": [0.4, 0.05, 0.1], "goal_pose": [1.5, 0.3, 0.2],
+               "current_vel": [0.2, 0, 0], "control_interval": 1 / 30,
+               "delta_t": 1 / 30}
+        cl.call(req)  # compile
+        lat = []
+        for _ in range(args.latency_reps):
+            t0 = time.perf_counter()
+            cl.call(req)
+            lat.append(time.perf_counter() - t0)
+        lat_ms = np.array(lat) * 1e3
+        _results["serving_tick_ms"] = round(float(np.median(lat_ms)), 3)
+        _results["serving_tick_p99_ms"] = round(
+            float(np.percentile(lat_ms, 99)), 2)
+        print(f"[bench] serving single-robot done "
+              f"(p50 {np.median(lat_ms):.2f} ms)", file=sys.stderr)
+        if remaining() > 90:
+            robots = [{"current_pose": [0.02 * i, 0, 0],
+                       "carrot_pose": [0.4, 0.05 - 0.01 * i, 0.1],
+                       "goal_pose": [1.5, 0.3, 0.2],
+                       "current_vel": [0.2, 0, 0],
+                       "control_interval": 1 / 30} for i in range(64)]
+            breq = {"op": "optimizer_batch", "robots": robots,
+                    "delta_t": 1 / 30}
+            cl.call(breq)  # compile
+            blat = []
+            for _ in range(20):
+                t0 = time.perf_counter()
+                cl.call(breq)
+                blat.append(time.perf_counter() - t0)
+            _results["serving_fleet64_per_robot_ms"] = round(
+                float(np.median(blat)) * 1e3 / 64, 3)
+            print(f"[bench] serving fleet-64 done "
+                  f"({np.median(blat)*1e3:.1f} ms/tick)", file=sys.stderr)
+        cl.close()
+    except Exception as e:
+        print(f"[bench] serving pass failed: {e!r}", file=sys.stderr)
 
     # ---- cold-start batched step (zero warm starts, full solver work) ----
     eng = eng0

@@ -19,7 +19,8 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Mapping
 
-__all__ = ["CompatConfig", "MpcConfig", "default_config", "config_from_ros_params"]
+__all__ = ["CompatConfig", "MpcConfig", "default_config", "fleet_config",
+           "config_from_ros_params"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -53,6 +54,13 @@ class CompatConfig:
     # mpc_optimization_server.py:251,267 — orientation errors are raw
     # differences with no wrap to [-pi, pi].
     no_angle_wrap: bool = True
+
+    # mpc_optimization_server.py:380 — the stuck-wait THRESHOLD is the
+    # hardcoded literal 3.0 s; the declared `waiting_time` parameter (py:70,
+    # README.md:77) is hijacked as the elapsed-time accumulator instead
+    # (§2.3.6), so the parameter never takes effect. Off => cfg.waiting_time
+    # is honored as the threshold (what the parameter doc says it does).
+    hardcoded_stuck_wait: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -161,6 +169,17 @@ class MpcConfig:
     solver_compact_after: int = 8
     solver_compact_frac: float = 0.0625
     solver_compact_min_batch: int = 256
+    # Adaptive compaction (difficulty-aware lockstep): instead of compacting
+    # at the fixed iteration solver_compact_after, run full-batch SQP
+    # iterations only WHILE more than ceil(B·solver_compact_frac) lanes are
+    # still alive, then gather the stragglers into the compact sub-batch and
+    # finish only them. A warm fleet whose alive count collapses after 3
+    # iterations stops paying full-batch trips at iteration 4 — easy lanes
+    # stop funding the hard lanes' lockstep depth at the earliest possible
+    # point, at ANY operating point (the fixed-k1 scheme auto-disables when
+    # max_iters <= k1, e.g. the cap-8 bench point). Per-lane math identical;
+    # XLA fusion may reassociate float ops (~1e-6, like the fixed scheme).
+    solver_compact_adaptive: bool = False
     # Armijo line-search wave width: candidates 2^-j evaluated per merit
     # evaluation. >1 amortizes the batched costmap gather's fixed overhead
     # (~0.125 ms at batch 4096 whether it fetches 3 or 3·K points) over K
@@ -229,7 +248,48 @@ _ROS_ALIASES = {
 
 
 def default_config() -> MpcConfig:
+    """Library default: the reference's parameter defaults with FULL solver
+    fidelity (max_iters=40, single-phase fine-grid Armijo). This is the
+    bit-tolerant-SLSQP-parity operating point — the project's north-star
+    contract (BASELINE.md) — and it is deliberately NOT the fastest one:
+    the two-phase line-search schedule + iteration cap measured +52 % on the
+    fleet bench (596k vs 391k solves/s/chip, PERF.md) at a command-fidelity
+    cost of p99 0.0039 m/s vs this default program. Parity-by-default keeps
+    every oracle/golden gate exact; deployments that want the measured fast
+    point opt in explicitly via `fleet_config()`."""
     return MpcConfig()
+
+
+def fleet_config() -> MpcConfig:
+    """The measured fleet-throughput operating point — what bench.py runs.
+
+    Differences from `default_config()`, each with its PERF.md study:
+    - solver_max_iters=8: warm lanes converge in <=4 iterations; capped
+      lanes warm-start from the raw solution next tick exactly like the
+      reference tolerates SLSQP failure (py:397-400). Command diff vs the
+      cap-40 program: p99 0.0038 m/s, goal-distance distribution identical
+      to 4 decimals (PERF.md cap sweep).
+    - two-phase Armijo (max_backtracks=7, coarse_after=2, factor 1/16):
+      accepted alphas stay on the fine 0.5 grid; only reject-everything
+      episodes at the nonsmooth control kink coarsen. +16-19 % at p99
+      0.0039 / 91.5 % lanes within 0.01 (round-3 line-search study).
+    - adaptive lockstep compaction: straggler lanes stop setting the whole
+      batch's lockstep depth at the earliest point the tail fits the
+      compact sub-batch (per-lane math identical).
+    - solver_costmap_u8="auto": uint8 gather source for >=128² maps (the
+      measured crossover; value-exact for nav2 raw-grid maps).
+
+    Single-solve commands remain within the fidelity gates above but are NOT
+    bit-parity with scipy SLSQP — use default_config() for that contract.
+    """
+    return MpcConfig(
+        solver_max_iters=8,
+        solver_max_backtracks=7,
+        solver_ls_coarse_after=2,
+        solver_ls_coarse_factor=0.0625,
+        solver_compact_adaptive=True,
+        solver_costmap_u8="auto",
+    )
 
 
 def config_from_ros_params(params: Mapping[str, Any],

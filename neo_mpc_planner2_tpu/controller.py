@@ -25,7 +25,8 @@ from .engine import MpcEngine, StepResult
 from .ops.costmap import Costmap
 from .ops.footprint import Footprint
 from .ops.pursuit import Plan
-from .utils.viz import carrot_msg, local_plan_msg, predicted_footprint_msg
+from .utils.viz import (carrot_msg, local_plan_msg, plan_msg,
+                        predicted_footprint_msg)
 
 __all__ = ["NeoMpcController", "ControllerException"]
 
@@ -56,6 +57,8 @@ class NeoMpcController:
         self._native = None
         self._limits = None
         self.last_result: Optional[StepResult] = None
+        self._last_pose = None       # robot pose of the last tick (map frame)
+        self._last_window = None     # (begin, end) plan indices of the last tick
 
     # ---- lifecycle (h:72-90) ----
     def configure(self, params=None, costmap: Optional[Costmap] = None,
@@ -131,12 +134,16 @@ class NeoMpcController:
             np.asarray(self._footprint.vertices)[:nv],
             float(self._costmap.resolution))
         if need > self.cfg.footprint_edge_samples:
-            import warnings
+            # Auto-corrected, safe by construction: log (not warn) so routine
+            # configure() calls with the default count don't spam warnings
+            # (round-2 advice); the count is visible on self.cfg either way.
+            import logging
 
-            warnings.warn(
-                f"footprint_edge_samples={self.cfg.footprint_edge_samples} "
-                f"spaces samples wider than the {float(self._costmap.resolution)} m "
-                f"map resolution for this footprint; raising to {need}")
+            logging.getLogger(__name__).info(
+                "footprint_edge_samples=%d spaces samples wider than the "
+                "%g m map resolution for this footprint; raising to %d",
+                self.cfg.footprint_edge_samples,
+                float(self._costmap.resolution), need)
             self.cfg = self.cfg.replace(footprint_edge_samples=need)
             if self._engine is not None:
                 self._build_engine()
@@ -234,6 +241,7 @@ class NeoMpcController:
             delta_t = now - self._last_time  # py:369-371 semantics
             self._last_time = now
 
+        self._last_pose = np.asarray(pose, float)
         if self._native is not None:
             return self._tick_native(pose, velocity, float(delta_t))
 
@@ -245,6 +253,8 @@ class NeoMpcController:
         )
         self._state = out.state
         self.last_result = out
+        self._last_window = (int(out.plan_window_begin),
+                             int(out.plan_window_end))
         if bool(out.plan_empty):
             raise ControllerException("Resulting plan has 0 poses in it.")  # cpp:131
         if bool(out.lethal):
@@ -281,9 +291,26 @@ class NeoMpcController:
         out = self._native_solve(self._state, scen, jnp.float32(delta_t))
         self._state = out.state
         self.last_result = out
+        self._last_window = (req.window_begin, req.window_end)
         return np.asarray(out.cmd_vel)
 
     # ---- debug artifacts (A6/B7 parity) ----
+    def transformed_plan(self) -> np.ndarray:
+        """The last tick's transformed-plan window in the base frame — the
+        poses the reference publishes as `received_global_plan` every tick
+        (NeoMpcPlanner.cpp:109-128). (K, 3) x/y/yaw; empty (0, 3) before the
+        first tick."""
+        if (self._last_window is None or self._last_pose is None
+                or self._plan is None):
+            return np.zeros((0, 3))
+        b, e = self._last_window
+        poses = np.asarray(self._plan.poses)[b:e]
+        r = self._last_pose
+        c, s = np.cos(r[2]), np.sin(r[2])
+        dx, dy = poses[:, 0] - r[0], poses[:, 1] - r[1]
+        return np.stack(
+            [dx * c + dy * s, -dx * s + dy * c, poses[:, 2] - r[2]], axis=-1)
+
     def debug_msgs(self) -> dict:
         if self.last_result is None:
             return {}
@@ -291,6 +318,8 @@ class NeoMpcController:
             "lookahead_point": carrot_msg(np.asarray(self.last_result.carrot_pose)),
             "local_plan": local_plan_msg(np.asarray(self.last_result.local_plan)),
         }
+        window = self.transformed_plan()
+        msgs["received_global_plan"] = plan_msg(window, len(window))
         if self._footprint is not None:
             nv = int(self._footprint.n_valid)
             msgs["predicted_footprint"] = predicted_footprint_msg(

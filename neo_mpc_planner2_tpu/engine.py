@@ -75,6 +75,10 @@ class StepResult(NamedTuple):
     local_plan: jnp.ndarray       # (N+1, 3) current pose + RAW-solution rollout
                                   # (publishLocalPlan, py:284-305 — published at
                                   # py:365 BEFORE the low-pass at py:366-367)
+    plan_window_begin: jnp.ndarray  # () int32 — transformed-plan window
+    plan_window_end: jnp.ndarray    # [begin, end) plan indices; the
+                                    # received_global_plan debug artifact
+                                    # (cpp:119-128) is these poses in base frame
 
 
 def _shift_warm_start(x: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -136,9 +140,12 @@ def _post_solve(
     # --- stuck-wait vs acceleration clamp (py:374-391) ---
     blocked = collision | collision_footprint
     waiting_time = jnp.where(blocked, waiting_time + delta_t, waiting_time)
-    # Hardcoded 3.0 s threshold (py:380; the waiting_time *param* is hijacked
-    # as the accumulator — SURVEY.md §2.3.6).
-    expire = blocked & (waiting_time >= 3.0)
+    # Parity: hardcoded 3.0 s threshold (py:380; the waiting_time *param* is
+    # hijacked as the accumulator — SURVEY.md §2.3.6). Product mode honors
+    # cfg.waiting_time as the threshold the parameter doc promises (py:70).
+    stuck_thresh = (3.0 if cfg.compat.hardcoded_stuck_wait
+                    else cfg.waiting_time)
+    expire = blocked & (waiting_time >= stuck_thresh)
     collision = jnp.where(expire, False, collision)
     waiting_time = jnp.where(expire, 0.0, waiting_time)
 
@@ -182,6 +189,8 @@ def _post_solve(
         carrot_pose=scen.carrot_pose,
         closer_to_goal=scen.switch_opt,
         local_plan=local_plan,
+        plan_window_begin=jnp.int32(0),
+        plan_window_end=jnp.int32(0),
     )
 
 
@@ -283,6 +292,8 @@ def _tick_post(pr, state: ControlState, out: StepResult) -> StepResult:
         plan_empty=pr.plan_empty,
         carrot_pose=pr.carrot_pose,
         closer_to_goal=pr.closer_to_goal,
+        plan_window_begin=pr.window_begin,
+        plan_window_end=pr.window_end,
     )
 
 

@@ -52,7 +52,9 @@ class _Request(ctypes.Structure):
                 ("control_interval", ctypes.c_double),
                 ("slow_down", ctypes.c_int32),
                 ("footprint_cost", ctypes.c_double),
-                ("lookahead_dist", ctypes.c_double)]
+                ("lookahead_dist", ctypes.c_double),
+                ("window_begin", ctypes.c_int32),
+                ("window_end", ctypes.c_int32)]
 
 
 class HostRequest:
@@ -70,6 +72,10 @@ class HostRequest:
         self.slow_down = bool(r.slow_down)
         self.footprint_cost = float(r.footprint_cost)
         self.lookahead_dist = float(r.lookahead_dist)
+        # Transformed-plan window [begin, end) plan indices — the
+        # received_global_plan debug path (NeoMpcPlanner.cpp:119-128).
+        self.window_begin = int(r.window_begin)
+        self.window_end = int(r.window_end)
 
 
 _lib = None

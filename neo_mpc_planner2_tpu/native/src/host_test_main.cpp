@@ -28,6 +28,7 @@ typedef struct {
   double control_interval;
   int slow_down;
   double footprint_cost, lookahead_dist;
+  int window_begin, window_end;
 } nmp_request;
 
 void* nmp_host_create(const nmp_params*);

@@ -61,6 +61,9 @@ typedef struct {
   int32_t slow_down;      // hysteresis state after this tick
   double footprint_cost;  // normalized current-pose footprint cost
   double lookahead_dist;
+  int32_t window_begin;   // transformed-plan window [begin, end) plan indices
+  int32_t window_end;     // (cpp:102-124; received_global_plan = these poses
+                          // in base frame, cpp:119-128)
 } nmp_request;
 
 enum nmp_status {
@@ -307,6 +310,8 @@ int32_t nmp_host_tick(void* handle, const nmp_pose* robot_pose,
   out->slow_down = h->slow_down ? 1 : 0;
   out->footprint_cost = fp_cost;
   out->lookahead_dist = lookahead;
+  out->window_begin = static_cast<int32_t>(begin);
+  out->window_end = static_cast<int32_t>(end);
 
   if (fp_cost >= kLethalGate) return NMP_ERR_LETHAL; // cpp:234-236
   return NMP_OK;

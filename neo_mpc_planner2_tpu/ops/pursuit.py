@@ -92,6 +92,10 @@ class PursuitResult(NamedTuple):
     new_start: jnp.ndarray         # () int32 — consumed-prefix index
     lookahead_dist: jnp.ndarray    # () chosen lookahead distance
     plan_empty: jnp.ndarray        # () bool — window empty (cpp:130 throw)
+    window_begin: jnp.ndarray      # () int32 — transformed-plan window [begin,
+    window_end: jnp.ndarray        # () int32 — end) plan indices (cpp:102-124;
+                                   # the received_global_plan debug path,
+                                   # cpp:119-128, is these poses in base frame)
 
 
 def _lookahead_distance(cfg: MpcConfig, slow_down, closer_to_goal):
@@ -187,4 +191,6 @@ def pursuit_tick(
         new_start=begin,
         lookahead_dist=lookahead_dist,
         plan_empty=plan_empty,
+        window_begin=begin,
+        window_end=end,  # already clamped to n_valid by its construction
     )

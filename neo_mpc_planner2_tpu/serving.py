@@ -21,9 +21,14 @@ transport is a newline-delimited JSON protocol over TCP (no ROS, no DDS):
 costmap/footprint are solved as ONE batched device dispatch per tick, each
 with its own persistent warm-start/stuck-timer lane. Robots are positional —
 keep a stable order across calls; growing the fleet preserves existing lanes
-and initializes the new ones, shrinking drops the tail. The batch is padded to
-a power of two so fleet-size churn does not recompile. Response:
-{"results": [<per-robot optimizer response>, ...]}.
+and initializes the new ones (lanes beyond the previous robot count are reset
+to init_state before the solve, so a new robot never inherits a pad lane's
+evolved state), shrinking drops the tail. The batch is padded to a power of
+two so fleet-size churn does not recompile. Response:
+{"results": [<per-robot optimizer response>, ...]}. In pipelined mode a
+fleet-size change returns the previous tick's results for the surviving
+lanes (positions < min(old_n, new_n)) and a zero-command `pipelined_warmup`
+entry only for the new lanes.
 
 Responses mirror the Optimizer.srv response: {"output_vel": [vx, vy, wz],
 ...diagnostics}. Requests are served strictly in order on one thread — the
@@ -82,6 +87,10 @@ class OptimizerSession:
         self.footprint: Optional[Footprint] = None
         self.state = None
         self.last_time = 0.0  # py:138 — first delta_t is huge, like time.time()-0
+        # The batch path keeps its own timestamp: sharing last_time with the
+        # single-robot op would corrupt both stuck-timer deltas when a client
+        # interleaves single and batch solves (ADVICE round-2).
+        self._fleet_last_time = 0.0
         # Advanced-step mode (SURVEY.md §7.8 double-buffered pipeline): return
         # the PREVIOUS tick's command immediately while this tick's solve runs
         # asynchronously on device — one control period of command latency in
@@ -92,17 +101,28 @@ class OptimizerSession:
         self._pending = None
         # Fleet-serving lane state: a batched ControlState whose leading dim is
         # the padded fleet size (see op_optimizer_batch), plus the pipelined-
-        # mode pending result for the batch path.
+        # mode pending result for the batch path. _fleet_n tracks how many
+        # lanes hold REAL robot state (pad lanes still get solved every tick,
+        # so their ControlState evolves — a robot later assigned to one must
+        # start from init_state, not the polluted lane; ADVICE round-2).
         self._fleet_state = None
         self._fleet_pending = None
+        self._fleet_n = 0
         self._rebuild()
 
     def _rebuild(self) -> None:
         cfg = self.cfg
         solver = make_sqp_solver(cfg, make_objective(cfg, parity=True))
 
+        # Single-robot op routes through a batch-1 vmapped executable: the
+        # unbatched scalar program (footprint sampling in _post_solve)
+        # triggers a minutes-long XLA-TPU compile pathology that the vmapped
+        # one does not (same treatment as MpcEngine.step; CLAUDE.md).
         def step(state, scen, delta_t):
-            return solve_step(cfg, state, scen, delta_t, solver=solver)
+            out = jax.vmap(
+                lambda st, sc, dt: solve_step(cfg, st, sc, dt, solver=solver)
+            )(*jax.tree.map(lambda x: x[None], (state, scen, delta_t)))
+            return jax.tree.map(lambda x: x[0], out)
 
         self._step = jax.jit(step)
 
@@ -203,6 +223,8 @@ class OptimizerSession:
         self._pending = None
         self._fleet_state = None
         self._fleet_pending = None
+        self._fleet_n = 0
+        self._fleet_last_time = 0.0
         return {"ok": True}
 
     def op_ping(self, msg: dict) -> dict:
@@ -263,9 +285,11 @@ class OptimizerSession:
         }
 
     def _resize_fleet(self, pad: int) -> None:
-        """Grow/shrink the persistent lane state to `pad` lanes: existing
-        lanes keep their warm starts/timers (positional identity), new lanes
-        start from init_state."""
+        """Grow/shrink the persistent lane state to `pad` lanes: lanes that
+        held REAL robots (< _fleet_n) keep their warm starts/timers
+        (positional identity); everything else starts from init_state — pad
+        lanes are solved every tick too, so their evolved state must never
+        be inherited by a robot (ADVICE round-2)."""
         fresh = jax.tree.map(
             lambda x: jnp.broadcast_to(x, (pad,) + x.shape),
             init_state(self.cfg))
@@ -273,7 +297,7 @@ class OptimizerSession:
         if old is None:
             self._fleet_state = fresh
             return
-        keep = min(int(old.initial_guess.shape[0]), pad)
+        keep = min(self._fleet_n, pad)
         self._fleet_state = jax.tree.map(
             lambda f, o: f.at[:keep].set(o[:keep]), fresh, old)
         self._fleet_pending = None  # pending batch has the old lane layout
@@ -297,6 +321,16 @@ class OptimizerSession:
         if (self._fleet_state is None
                 or int(self._fleet_state.initial_guess.shape[0]) != pad):
             self._resize_fleet(pad)
+        elif n > self._fleet_n:
+            # Same pad, more robots: lanes [_fleet_n:) evolved as pad lanes
+            # (or belonged to since-dropped robots) — reset them so the new
+            # robots start from init_state.
+            fresh = init_state(self.cfg)
+            prev = self._fleet_n
+            self._fleet_state = jax.tree.map(
+                lambda s, f: s.at[prev:].set(
+                    jnp.broadcast_to(f, (pad - prev,) + f.shape)),
+                self._fleet_state, fresh)
 
         def field(name, width, default=None):
             rows = np.zeros((pad, width), np.float32)
@@ -317,8 +351,8 @@ class OptimizerSession:
             delta_t = float(msg["delta_t"])
         else:
             now = time.time()
-            delta_t = now - self.last_time
-            self.last_time = now
+            delta_t = now - self._fleet_last_time
+            self._fleet_last_time = now
 
         out = self._fleet_step(
             self._fleet_state,
@@ -328,18 +362,28 @@ class OptimizerSession:
             jnp.full((pad,), delta_t, jnp.float32),
             self.costmap, self.footprint, self._weights, self._limits)
         self._fleet_state = out.state
+        self._fleet_n = n
 
+        warmup_entry = None
+        n_out = n
         if self.pipelined:
             prev, self._fleet_pending = self._fleet_pending, (out, n)
-            if prev is None or prev[1] != n:
-                zero_plan = np.zeros(
-                    (self.cfg.control_steps + 1, 3)).tolist()
-                return {"results": [
-                    {"output_vel": [0.0, 0.0, 0.0], "success": True,
-                     "iterations": 0, "cost": 0.0, "collision": False,
-                     "collision_footprint": False, "pipelined_warmup": True,
-                     "local_plan": zero_plan} for _ in range(n)]}
-            out, n = prev
+            zero_plan = np.zeros((self.cfg.control_steps + 1, 3)).tolist()
+            warmup_entry = {
+                "output_vel": [0.0, 0.0, 0.0], "success": True,
+                "iterations": 0, "cost": 0.0, "collision": False,
+                "collision_footprint": False, "pipelined_warmup": True,
+                "local_plan": zero_plan}
+            if prev is None:
+                return {"results": [dict(warmup_entry) for _ in range(n)]}
+            # Fleet-size churn: surviving lanes (< min(prev_n, n)) get the
+            # previous tick's real results; only NEW lanes get a warmup
+            # entry (ADVICE round-2 — all-or-nothing warmup starved
+            # every robot under per-tick churn). prev's pad can only differ
+            # from the current one if _resize_fleet ran, which clears
+            # _fleet_pending — so prev's arrays are indexable here.
+            out, prev_n = prev
+            n_out = min(prev_n, n)
 
         # One host fetch per field (batched), then slice off the pad lanes.
         cmd = np.asarray(out.cmd_vel)
@@ -349,14 +393,16 @@ class OptimizerSession:
         coll = np.asarray(out.collision)
         collfp = np.asarray(out.collision_footprint)
         lp = np.asarray(out.local_plan)
-        return {"results": [
+        results = [
             {"output_vel": cmd[i].tolist(),
              "success": bool(conv[i]),
              "iterations": int(iters[i]),
              "cost": float(fun[i]),
              "collision": bool(coll[i]),
              "collision_footprint": bool(collfp[i]),
-             "local_plan": lp[i].tolist()} for i in range(n)]}
+             "local_plan": lp[i].tolist()} for i in range(n_out)]
+        results += [dict(warmup_entry) for _ in range(n - n_out)]
+        return {"results": results}
 
     def handle(self, msg: dict) -> dict:
         op = msg.get("op")

@@ -493,8 +493,10 @@ def _make_sqp(
     limits=None,
 ):
     """Build the SQP iteration machinery for one objective: returns
-    (init, run) where init(x0) -> _SqpState evaluates the warm start and
-    run(state, upto_k) continues outer iterations while ~done and k < upto_k.
+    (init, run, body) where init(x0) -> _SqpState evaluates the warm start,
+    run(state, upto_k) continues outer iterations while ~done and k < upto_k,
+    and body is one raw SQP iteration (for batch-level loop restructuring —
+    the adaptive compaction in make_sqp_solver_batched).
 
     Splitting init/run (instead of one closed sqp_solve) is what lets the
     batched front-end re-batch lanes mid-solve: run(st, k1) on the full batch,
@@ -735,7 +737,7 @@ def _make_sqp(
         return jax.lax.while_loop(
             lambda s: (~s.done) & (s.k < upto_k), body, s)
 
-    return init, run
+    return init, run, body
 
 
 def sqp_solve(
@@ -751,10 +753,10 @@ def sqp_solve(
 ) -> SolveResult:
     """Minimize f over box ∩ cone from warm start x0 (SLSQP-equivalent)."""
     max_iters = cfg.solver_max_iters if max_iters is None else max_iters
-    init, run = _make_sqp(f, cfg, ftol=ftol, qp_iters=qp_iters,
-                          max_backtracks=max_backtracks,
-                          parallel_ls=parallel_ls,
-                          ls_wave=cfg.solver_ls_wave, limits=limits)
+    init, run, _ = _make_sqp(f, cfg, ftol=ftol, qp_iters=qp_iters,
+                             max_backtracks=max_backtracks,
+                             parallel_ls=parallel_ls,
+                             ls_wave=cfg.solver_ls_wave, limits=limits)
     fin = run(init(x0), max_iters)
     # SLSQP reports success both at ftol convergence and when the line search
     # collapses at a (possibly nonsmooth) stationary point.
@@ -841,8 +843,46 @@ def make_sqp_solver_batched(cfg: MpcConfig, objective,
         k1 = cfg.solver_compact_after
         frac = cfg.solver_compact_frac
         compact_n = int(np.ceil(batch * frac)) if frac > 0 else batch
-        use = (0 < k1 < max_iters_ and 0 < compact_n < batch
-               and batch >= cfg.solver_compact_min_batch)
+        eligible = (0 < compact_n < batch
+                    and batch >= cfg.solver_compact_min_batch)
+        use = eligible and 0 < k1 < max_iters_
+
+        if cfg.solver_compact_adaptive and eligible and max_iters_ > 1:
+            # Adaptive compaction (difficulty-aware lockstep): instead of a
+            # fixed k1 full-batch iterations, run full-batch SQP iterations
+            # only WHILE more than compact_n lanes are still alive, then
+            # gather the stragglers and finish them compactly. A warm tick
+            # whose alive count collapses after 3 iterations stops paying
+            # full-batch trips at iteration 4, not k1 — the easy lanes stop
+            # setting (and funding) the hard lanes' lockstep depth at the
+            # earliest point the tail fits the compact sub-batch. Per-lane
+            # math is identical to the plain path: the masked full-batch
+            # step below IS what vmap's while_loop batching rule does.
+            st0 = jax.vmap(lambda x0, sc: lane(sc)[0](x0))(x0s, scens)
+            vbody = jax.vmap(lambda s, sc: lane(sc)[2](s))
+
+            def alive_of(st):
+                return (~st.done) & (st.k < max_iters_)
+
+            def bstep(st):
+                a = alive_of(st)
+                new = vbody(st, scens)
+                return jax.tree.map(
+                    lambda o, nw: jnp.where(
+                        a.reshape((batch,) + (1,) * (o.ndim - 1)), nw, o),
+                    st, new)
+
+            st = jax.lax.while_loop(
+                lambda st: jnp.sum(alive_of(st)) > compact_n, bstep, st0)
+            alive = alive_of(st)
+            idx = jnp.nonzero(alive, size=compact_n, fill_value=0)[0]
+            sub_st = jax.tree.map(lambda a_: a_[idx], st)
+            sub_sc = jax.tree.map(lambda a_: a_[idx], scens)
+            fin = jax.vmap(lambda s, sc: lane(sc)[1](s, max_iters_))(
+                sub_st, sub_sc)
+            st = jax.tree.map(lambda full, sub: full.at[idx].set(sub),
+                              st, fin)
+            return SolveResult(x=st.x, fun=st.f, converged=st.done, iters=st.k)
 
         st = jax.vmap(lambda x0, sc: lane(sc)[1](lane(sc)[0](x0),
                                                  k1 if use else max_iters_)

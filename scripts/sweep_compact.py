@@ -23,7 +23,9 @@ def main() -> None:
     ap.add_argument("--map-size", type=int, default=64)
     ap.add_argument("--max-iters", type=int, default=8)
     ap.add_argument("--pairs", nargs="*", default=["4:0.0625", "4:0.125"],
-                    help="k1:frac pairs; 0:0 = baseline (always run first)")
+                    help="k1:frac pairs; 0:0 = baseline (always run first); "
+                         "a:frac = ADAPTIVE compaction (batch-level while "
+                         "until <= frac*B lanes alive, then compact tail)")
     ap.add_argument("--ls-wave", type=int, default=1,
                     help="solver_ls_wave candidates per merit eval")
     ap.add_argument("--patch", type=int, default=0,
@@ -65,21 +67,28 @@ def main() -> None:
         base = base.replace(solver_costmap_patch=h)
         print(f"solver_costmap_patch={h}", flush=True)
     sb = make_scenario_batch(base, args.batch, seed=0,
-                             map_size=args.map_size, plan_points=64)
+                             map_size=args.map_size, plan_points=64,
+                             maps_on_device=True)
 
     ref_cmds = None
     for pair in ["0:0"] + [p for p in args.pairs if p != "0:0"]:
         k1_s, frac_s = pair.split(":")
-        cfg = base.replace(solver_compact_after=int(k1_s),
-                           solver_compact_frac=float(frac_s))
+        if k1_s == "a":
+            cfg = base.replace(solver_compact_adaptive=True,
+                               solver_compact_frac=float(frac_s))
+        else:
+            cfg = base.replace(solver_compact_after=int(k1_s),
+                               solver_compact_frac=float(frac_s))
         sim = jax.jit(lambda b, t, cfg=cfg: batch_simulate(cfg, b, t),
                       static_argnums=1)
         run = sim(sb, args.ticks)
         sync(run.cmds)  # compile + warm
-        t0 = time.perf_counter()
-        run = sim(sb, args.ticks)
-        sync(run.cmds)
-        s = time.perf_counter() - t0
+        s = float("inf")
+        for _ in range(2):  # min-of-2: tunnel-fetch jitter
+            t0 = time.perf_counter()
+            run = sim(sb, args.ticks)
+            sync(run.cmds)
+            s = min(s, time.perf_counter() - t0)
         sps = args.batch * args.ticks / s
         cmds = np.asarray(jax.device_get(run.cmds))
         if ref_cmds is None:

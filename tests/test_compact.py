@@ -127,6 +127,70 @@ def test_compact_branch_taken_on_warm_batch():
     assert 0 < n_alive <= int(np.ceil(B * cfg.solver_compact_frac))
 
 
+@pytest.mark.parametrize("max_iters", [8, 20])
+def test_adaptive_compaction_matches_vmap(max_iters):
+    """Adaptive compaction (solver_compact_adaptive): full-batch iterations
+    run only while more than compact_n lanes are alive, then the stragglers
+    finish compactly. Must equal plain vmap(sqp_solve) per lane — exact
+    iteration counts/flags, values to float-fusion noise — at BOTH operating
+    points (the cap-8 bench point, where fixed-k1 compaction auto-disables,
+    and the default-fidelity cap)."""
+    from neo_mpc_planner2_tpu.ops.objective import make_objective
+    from neo_mpc_planner2_tpu.sqp import (make_sqp_solver,
+                                          make_sqp_solver_batched)
+
+    cfg = _cfg(solver_max_iters=max_iters, solver_compact_frac=0.25,
+               solver_compact_adaptive=True)
+    B = 16
+    rng = np.random.default_rng(1)
+    cm_data = np.zeros((40, 40))
+    cm_data[10:14, 22:30] = 0.9
+    cm = mpc.Costmap.create(cm_data, origin=(-1.0, -1.0), resolution=0.05)
+    fp = mpc.Footprint.rectangle(0.6, 0.4)
+    carrots = rng.uniform(-0.6, 0.6, (B, 3)).astype(np.float32)
+    goals = rng.uniform(-1.0, 1.0, (B, 3)).astype(np.float32)
+    vels = rng.uniform(-0.3, 0.3, (B, 3)).astype(np.float32)
+    scens = jax.vmap(lambda c, g, v: mpc.Scenario.create(
+        jnp.zeros(3), c, g, v, fp, cm))(jnp.asarray(carrots),
+                                        jnp.asarray(goals), jnp.asarray(vels))
+
+    obj = make_objective(cfg, parity=True)
+    vmap_solve = jax.jit(jax.vmap(make_sqp_solver(cfg, obj)))
+    solve_batch = jax.jit(make_sqp_solver_batched(cfg, obj))
+
+    for x0 in (jnp.zeros((B, 3 * cfg.control_steps), jnp.float32),
+               jnp.asarray(rng.uniform(-0.3, 0.3, (B, 3 * cfg.control_steps)),
+                           jnp.float32)):
+        ref = vmap_solve(x0, scens)
+        new = solve_batch(x0, scens)
+        np.testing.assert_array_equal(np.asarray(ref.converged),
+                                      np.asarray(new.converged))
+        np.testing.assert_array_equal(np.asarray(ref.iters),
+                                      np.asarray(new.iters))
+        np.testing.assert_allclose(np.asarray(ref.x), np.asarray(new.x),
+                                   rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(ref.fun), np.asarray(new.fun),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_adaptive_closed_loop_matches_plain():
+    """Closed-loop sim with adaptive compaction matches the plain batched
+    path to float-fusion noise over several ticks (commands and final
+    state), and tick counts stay exact."""
+    cfg_plain = _cfg(solver_compact_after=0, solver_compact_frac=0.25)
+    cfg_adapt = cfg_plain.replace(solver_compact_adaptive=True)
+    sb = make_scenario_batch(cfg_plain, 16, seed=9, map_size=32,
+                             plan_points=24)
+    run_p = jax.jit(lambda b: batch_simulate(cfg_plain, b, 6))(sb)
+    run_a = jax.jit(lambda b: batch_simulate(cfg_adapt, b, 6))(sb)
+    np.testing.assert_array_equal(np.asarray(run_p.solver_iters),
+                                  np.asarray(run_a.solver_iters))
+    np.testing.assert_allclose(np.asarray(run_p.cmds),
+                               np.asarray(run_a.cmds), rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(run_p.poses),
+                               np.asarray(run_a.poses), rtol=2e-5, atol=1e-5)
+
+
 def test_batch_simulate_init_carry_extends_run():
     """Segmented sim (init carry) reproduces one longer run bitwise — the
     bench's quality pass extends the headline run without recompiling."""

@@ -70,6 +70,25 @@ class TestTick:
         msgs = ctrl.debug_msgs()
         assert msgs["lookahead_point"]["point"]["z"] == 0.01
         assert len(msgs["local_plan"]["poses"]) == ctrl.cfg.control_steps + 1
+        assert len(msgs["received_global_plan"]["poses"]) > 0
+
+    def test_received_global_plan_window(self, ctrl):
+        """The transformed-plan window (received_global_plan, cpp:119-128):
+        base-frame poses from the closest plan pose out to half the costmap
+        extent."""
+        ctrl.set_plan(_line_plan())           # 2 m straight line, 50 poses
+        pose = [0.6, 0.1, 0.2]
+        ctrl.compute_velocity_commands(pose, [0.1, 0, 0], 0.033)
+        w = ctrl.transformed_plan()
+        assert len(w) > 0
+        # First window pose is the closest plan pose — near the robot.
+        assert np.hypot(w[0, 0], w[0, 1]) < 0.15
+        # All within half the 40-cell/0.05 m map extent (1.0 m).
+        assert np.hypot(w[:, 0], w[:, 1]).max() <= 1.0 + 1e-6
+        # Base-frame check: plan heading is -0.2 rad in a yaw-0.2 base frame.
+        np.testing.assert_allclose(w[:, 2], -0.2, atol=1e-6)
+        msgs = ctrl.debug_msgs()
+        assert len(msgs["received_global_plan"]["poses"]) == len(w)
 
 
 class TestSpeedLimit:
@@ -119,6 +138,7 @@ class TestNativeGeometry:
         from neo_mpc_planner2_tpu.utils.se2_np import integrate_cmd_np
 
         cmds = {}
+        windows = {}
         for native in (False, True):
             c = NeoMpcController()
             c.configure(cfg, costmap=empty_costmap, footprint=footprint,
@@ -128,13 +148,23 @@ class TestNativeGeometry:
             pose = np.zeros(3)
             vel = np.zeros(3)
             seq = []
+            wins = []
             for _ in range(15):
                 cmd = c.compute_velocity_commands(pose, vel, 1 / 30)
                 seq.append(cmd)
+                wins.append(c.transformed_plan())
                 pose = integrate_cmd_np(pose, cmd, 1 / 30)
                 vel = cmd
             cmds[native] = np.array(seq)
+            windows[native] = wins
         np.testing.assert_allclose(cmds[True], cmds[False], atol=2e-4)
+        # The transformed-plan window (received_global_plan) must agree
+        # between the C++ host and the device geometry, tick for tick.
+        for wn, wd in zip(windows[True], windows[False]):
+            assert len(wn) > 0
+            assert abs(len(wn) - len(wd)) <= 1  # f32-vs-f64 edge-pose ties
+            k = min(len(wn), len(wd))
+            np.testing.assert_allclose(wn[:k], wd[:k], atol=2e-4)
 
     def test_native_lethal_raises(self, cfg, footprint):
         from neo_mpc_planner2_tpu.native.host import NativeHost

@@ -123,6 +123,39 @@ class TestSolveStepParity:
         # the wall is still there, so it re-latches, but waiting_time restarted.
         assert bool(state.collision)
 
+    def test_product_mode_honors_waiting_time(self, cfg, footprint,
+                                              jit_solve_step):
+        """With compat.hardcoded_stuck_wait off, cfg.waiting_time is the
+        stuck-wait threshold (the parameter's documented meaning, py:70);
+        parity mode keeps the reference's hardcoded 3.0 s (py:380)."""
+        import dataclasses
+
+        data = np.zeros((40, 40))
+        data[:, 28:] = 0.995
+        cm = mpc.Costmap.create(data, origin=(-1.0, -1.0), resolution=0.05)
+        scen = mpc.Scenario.create([0, 0, 0], [0.6, 0.0, 0.0],
+                                   [1.0, 0.0, 0.0], [0.5, 0, 0], footprint, cm)
+
+        def ticks_to_expiry(c):
+            step = jit_solve_step(c)
+            state = mpc.init_state(c)
+            for tick in range(1, 12):
+                out = step(state, scen, jnp.float32(0.5))
+                state = out.state
+                # Expiry tick: the accumulator just reset below one delta_t.
+                if float(state.waiting_time) < 0.5:
+                    return tick
+            return None
+
+        # Parity: threshold 3.0 => waiting_time hits 3.0 on tick 6
+        # (ignores cfg.waiting_time entirely).
+        assert ticks_to_expiry(cfg.replace(waiting_time=1.0)) == 6
+        product = cfg.replace(
+            waiting_time=1.0,
+            compat=dataclasses.replace(cfg.compat, hardcoded_stuck_wait=False))
+        # Product: threshold 1.0 => expiry on tick 2.
+        assert ticks_to_expiry(product) == 2
+
     def test_footprint_collision_blocks(self, cfg, footprint, jit_solve_step):
         data = np.zeros((40, 40))
         data[20, 26] = 1.0  # cell x∈[0.30,0.35): front edge of the footprint

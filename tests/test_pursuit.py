@@ -64,6 +64,28 @@ class TestCarrotSelection:
         r = _tick(cfg, plan, [0.0, 0.0, 0.0], cm, footprint)
         assert float(r.carrot_pose[0]) <= 0.3 + 1e-5
 
+    def test_window_indices(self, cfg, empty_costmap, footprint):
+        """window_begin/window_end bound the transformed-plan window
+        (received_global_plan, cpp:102-128): begin at the closest pose,
+        end at the first pose beyond half the costmap extent."""
+        plan = _line_plan(cfg)  # 2 m, 50 poses, spacing ~0.0408 m
+        r = _tick(cfg, plan, [1.0, 0.0, 0.0], empty_costmap, footprint)
+        b, e = int(r.window_begin), int(r.window_end)
+        assert b == int(r.new_start)
+        poses = np.asarray(plan.poses)
+        # Every window pose within the half-extent (40*0.05/2 = 1 m of robot),
+        # and the pose at `e` (if any) beyond it.
+        d = np.hypot(poses[:, 0] - 1.0, poses[:, 1])
+        assert (d[b:e] <= 1.0 + 1e-6).all()
+        if e < 50:
+            assert d[e] > 1.0
+        # Robot at the start on a big map: window covers the whole plan.
+        cm_big = mpc.Costmap.create(np.zeros((200, 200)),
+                                    origin=(-5.0, -5.0), resolution=0.05)
+        r2 = _tick(cfg, plan, [0.0, 0.0, 0.0], cm_big, footprint)
+        assert int(r2.window_begin) == 0
+        assert int(r2.window_end) == 50
+
 
 class TestLookaheadDistance:
     def test_default_uses_max(self, cfg, empty_costmap, footprint):

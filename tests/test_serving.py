@@ -220,6 +220,88 @@ class TestFleetBatch:
         assert (abs(r["results"][0]["output_vel"][0])
                 > abs(r["results"][3]["output_vel"][0]) - 1e-6)
 
+    def _staged(self, cfg, pipelined=False):
+        s = OptimizerSession(cfg, pipelined=pipelined)
+        s.handle({"op": "set_costmap", "data": np.zeros((40, 40)).tolist(),
+                  "origin": [-1, -1], "resolution": 0.05})
+        s.handle({"op": "set_footprint",
+                  "points": [[0.3, 0.2], [-0.3, 0.2], [-0.3, -0.2],
+                             [0.3, -0.2]]})
+        return s
+
+    def test_pad_lane_state_not_inherited(self, cfg):
+        """A robot joining within the existing pad must start from
+        init_state, not the evolved state of the pad lane that was being
+        solved every tick (ADVICE round-2 medium)."""
+        fleet = self._staged(cfg)
+        # 3 robots => pad 4; lane 3 is a pad lane that evolves every tick.
+        for _ in range(4):
+            fleet.handle({"op": "optimizer_batch", "delta_t": 0.033,
+                          "robots": [self._robot(i) for i in range(3)]})
+        # Pad lane 3 has accumulated state by now (it solves the zero
+        # scenario each tick); a fresh 4th robot must not see any of it.
+        r = fleet.handle({"op": "optimizer_batch", "delta_t": 0.033,
+                          "robots": [self._robot(i) for i in range(4)]})
+        single = self._staged(cfg)
+        req = dict(self._robot(3))
+        req.update({"op": "optimizer", "delta_t": 0.033})
+        r_single = single.handle(req)
+        np.testing.assert_allclose(r["results"][3]["output_vel"],
+                                   r_single["output_vel"], atol=1e-5)
+
+    def test_shrink_then_grow_resets_dropped_lanes(self, cfg):
+        """Lanes dropped by a shrink must come back as FRESH robots on the
+        next grow (positional identity does not survive a drop)."""
+        fleet = self._staged(cfg)
+        for _ in range(3):
+            fleet.handle({"op": "optimizer_batch", "delta_t": 0.033,
+                          "robots": [self._robot(i) for i in range(4)]})
+        fleet.handle({"op": "optimizer_batch", "delta_t": 0.033,
+                      "robots": [self._robot(i) for i in range(2)]})
+        r = fleet.handle({"op": "optimizer_batch", "delta_t": 0.033,
+                          "robots": [self._robot(i) for i in range(4)]})
+        # Lane 3's first command is accel-clamped from ZERO last_control.
+        lim = cfg.acc_x_limit * 0.033
+        assert abs(r["results"][3]["output_vel"][0]) <= lim + 1e-5
+
+    def test_separate_stuck_timers(self, cfg):
+        """Interleaving single and batch solves without explicit delta_t must
+        not corrupt either path's wall-clock stuck-timer baseline (ADVICE
+        round-2: the ops used to share last_time)."""
+        s = self._staged(cfg)
+        req = dict(self._robot(0))
+        req["op"] = "optimizer"
+        req.pop("delta_t", None)
+        s.handle(req)                       # sets last_time
+        t_single = s.last_time
+        assert t_single > 0
+        s.handle({"op": "optimizer_batch",
+                  "robots": [self._robot(0)]})   # no delta_t => fleet clock
+        assert s.last_time == t_single      # batch left the single clock alone
+        assert s._fleet_last_time >= t_single
+
+    def test_pipelined_churn_serves_surviving_lanes(self, cfg):
+        """Fleet-size change in pipelined mode: surviving lanes get the
+        previous tick's real results; only NEW lanes get warmup entries
+        (ADVICE round-2: all-or-nothing warmup starved fleets with churn)."""
+        fleet = self._staged(cfg, pipelined=True)
+        r1 = fleet.handle({"op": "optimizer_batch", "delta_t": 0.033,
+                           "robots": [self._robot(i) for i in range(3)]})
+        assert all(x.get("pipelined_warmup") for x in r1["results"])
+        # Grow 3 -> 4 within the same pad: lanes 0-2 must get tick-1 results.
+        r2 = fleet.handle({"op": "optimizer_batch", "delta_t": 0.033,
+                           "robots": [self._robot(i) for i in range(4)]})
+        assert len(r2["results"]) == 4
+        for i in range(3):
+            assert "pipelined_warmup" not in r2["results"][i]
+            assert abs(r2["results"][i]["output_vel"][0]) > 0
+        assert r2["results"][3].get("pipelined_warmup")
+        # Shrink 4 -> 2: both surviving lanes get tick-2 results.
+        r3 = fleet.handle({"op": "optimizer_batch", "delta_t": 0.033,
+                           "robots": [self._robot(i) for i in range(2)]})
+        assert len(r3["results"]) == 2
+        assert all("pipelined_warmup" not in x for x in r3["results"])
+
     def test_errors(self, cfg):
         s = OptimizerSession(cfg)
         assert "error" in s.handle({"op": "optimizer_batch",

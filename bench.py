@@ -96,8 +96,10 @@ def _main() -> None:
     # the measured crossover). For robustness points at --map-size 128.
     ap.add_argument("--costmap-u8", default="false",
                     choices=["false", "true", "auto"])
-    # Adaptive lockstep compaction A/B (config.solver_compact_adaptive).
-    ap.add_argument("--compact-adaptive", default="true",
+    # Adaptive lockstep compaction A/B (config.solver_compact_adaptive;
+    # measured 3-7 % SLOWER at the headline point — PERF.md round 8 — so
+    # default off; the flag remains for re-measuring at future kernels).
+    ap.add_argument("--compact-adaptive", default="false",
                     choices=["true", "false"])
     # Horizon-robustness point: control steps over the same 0.8 s horizon
     # (3 is the reference sample config; 5 exercises the m=15 QP/Cholesky
@@ -365,9 +367,10 @@ def _main() -> None:
         print(f"[bench] quality pass failed: {e!r}", file=sys.stderr)
 
     # ---- default-fidelity throughput: the SHIPPED default operating point
-    # (solver_max_iters=40 — every lane runs to convergence; straggler lanes
-    # are re-batched by the lockstep-tail compaction, sqp.py) so the headline
-    # cap-8 number and the library default are BOTH measured programs.
+    # (solver_max_iters=40 — every lane runs to convergence; compaction off
+    # since round 8, where it re-measured −12 % at the current kernels) so
+    # the headline cap-8 number and the library default are BOTH measured
+    # programs.
     # True library defaults for the solver knobs (single-phase 0.5^j Armijo,
     # full budget) so this row measures the SHIPPED default program, not the
     # headline operating point.

@@ -162,11 +162,14 @@ class MpcConfig:
     # counts exact; 0 disables. Applied only when the batch is at least
     # `solver_compact_min_batch` (below that the tail is cheaper than the
     # gather/scatter plumbing).
-    # Defaults tuned on TPU v5e at batch 4096 for the library-default
-    # max_iters=40: k1=8/frac=1/16 runs 197.6k solves/s vs 181.8k uncompacted
-    # (PERF.md). At operating points with max_iters <= solver_compact_after
-    # the compaction auto-disables (no tail to compact).
-    solver_compact_after: int = 8
+    # DEFAULT OFF (0) since round 8: the k1=8/frac=1/16 point that won at the
+    # round-2 kernels (197.6k vs 181.8k solves/s) LOSES at the current
+    # Pallas-QP kernels — re-measured 392.7k vs 446.1k uncompacted at the
+    # default program (cap 40, single-phase LS, batch 4096; PERF.md round 8).
+    # The per-iteration cost collapsed ~4x since the tuning, so the
+    # gather/scatter no longer amortizes. The knob remains for future
+    # operating points with fatter tails.
+    solver_compact_after: int = 0
     solver_compact_frac: float = 0.0625
     solver_compact_min_batch: int = 256
     # Adaptive compaction (difficulty-aware lockstep): instead of compacting
@@ -179,6 +182,11 @@ class MpcConfig:
     # point, at ANY operating point (the fixed-k1 scheme auto-disables when
     # max_iters <= k1, e.g. the cap-8 bench point). Per-lane math identical;
     # XLA fusion may reassociate float ops (~1e-6, like the fixed scheme).
+    # MEASURED (round 8, TPU v5e, batch 4096, cap 8): LOSES 3-7 % vs the
+    # plain lockstep while — the warm alive-set does not collapse below the
+    # compact size early enough to amortize the batch-level restructuring
+    # (see PERF.md round-8 alive-count histogram). Kept available for
+    # operating points with fatter iteration tails; default off.
     solver_compact_adaptive: bool = False
     # Armijo line-search wave width: candidates 2^-j evaluated per merit
     # evaluation. >1 amortizes the batched costmap gather's fixed overhead
@@ -273,11 +281,11 @@ def fleet_config() -> MpcConfig:
       accepted alphas stay on the fine 0.5 grid; only reject-everything
       episodes at the nonsmooth control kink coarsen. +16-19 % at p99
       0.0039 / 91.5 % lanes within 0.01 (round-3 line-search study).
-    - adaptive lockstep compaction: straggler lanes stop setting the whole
-      batch's lockstep depth at the earliest point the tail fits the
-      compact sub-batch (per-lane math identical).
     - solver_costmap_u8="auto": uint8 gather source for >=128² maps (the
       measured crossover; value-exact for nav2 raw-grid maps).
+    (Adaptive lockstep compaction was measured at this point and LOSES
+    3-7 % — the warm alive-set does not collapse early enough to pay for
+    the batch-level loop restructuring; PERF.md round 8 — so it stays off.)
 
     Single-solve commands remain within the fidelity gates above but are NOT
     bit-parity with scipy SLSQP — use default_config() for that contract.
@@ -287,7 +295,6 @@ def fleet_config() -> MpcConfig:
         solver_max_backtracks=7,
         solver_ls_coarse_after=2,
         solver_ls_coarse_factor=0.0625,
-        solver_compact_adaptive=True,
         solver_costmap_u8="auto",
     )
 

@@ -763,13 +763,28 @@ def sqp_solve(
     return SolveResult(x=fin.x, fun=fin.f, converged=fin.done, iters=fin.k)
 
 
-def _lane_fobj(cfg: MpcConfig, objective, scen):
-    """Per-scenario objective closure with the per-solve hoists applied."""
+def _lane_hoist(cfg: MpcConfig, objective, scen):
+    """Per-solve constant ARRAYS the objective hoists out of the solver
+    loops. Split from _lane_fobj so callers that emit the SQP body inside
+    their own loop (the adaptive batch-level while) can compute these once
+    outside it — tracing a hoist inside a while body re-emits its ops every
+    trip (the parity footprint term is a full polygon cost evaluation;
+    measured −25 % when re-emitted per trip, round 8)."""
     if getattr(objective, "parity", True):
-        from .ops.costmap import make_point_sampler
         from .ops.objective import parity_footprint_term
 
-        fp_term = parity_footprint_term(scen, cfg)
+        return parity_footprint_term(scen, cfg)
+    return jnp.zeros(())
+
+
+def _lane_fobj(cfg: MpcConfig, objective, scen, fp_term=None):
+    """Per-scenario objective closure with the per-solve hoists applied.
+    fp_term: pre-hoisted _lane_hoist result (computed here when omitted)."""
+    if getattr(objective, "parity", True):
+        from .ops.costmap import make_point_sampler
+
+        if fp_term is None:
+            fp_term = _lane_hoist(cfg, objective, scen)
         # Per-solve sampler: hoists the costmap relayout (and, with
         # solver_costmap_patch > 0, the whole map read) out of the
         # solver's while loops. Values are bit-identical to
@@ -832,8 +847,8 @@ def make_sqp_solver_batched(cfg: MpcConfig, objective,
     max_iters_ = cfg.solver_max_iters if max_iters is None else max_iters
     pls = cfg.parallel_line_search if parallel_ls is None else parallel_ls
 
-    def lane(scen):
-        fobj = _lane_fobj(cfg, objective, scen)
+    def lane(scen, fp_term=None):
+        fobj = _lane_fobj(cfg, objective, scen, fp_term=fp_term)
         return _make_sqp(fobj, cfg, ftol=ftol, qp_iters=qp_iters,
                          parallel_ls=pls, ls_wave=cfg.solver_ls_wave,
                          limits=scen.limits)
@@ -858,15 +873,20 @@ def make_sqp_solver_batched(cfg: MpcConfig, objective,
             # earliest point the tail fits the compact sub-batch. Per-lane
             # math is identical to the plain path: the masked full-batch
             # step below IS what vmap's while_loop batching rule does.
-            st0 = jax.vmap(lambda x0, sc: lane(sc)[0](x0))(x0s, scens)
-            vbody = jax.vmap(lambda s, sc: lane(sc)[2](s))
+            # Per-solve hoists (footprint term) computed ONCE, outside the
+            # batch-level while — ops traced inside its body are re-emitted
+            # every trip (measured −25 % without this, round 8).
+            fpts = jax.vmap(lambda sc: _lane_hoist(cfg, objective, sc))(scens)
+            st0 = jax.vmap(lambda x0, sc, ft: lane(sc, ft)[0](x0))(
+                x0s, scens, fpts)
+            vbody = jax.vmap(lambda s, sc, ft: lane(sc, ft)[2](s))
 
             def alive_of(st):
                 return (~st.done) & (st.k < max_iters_)
 
             def bstep(st):
                 a = alive_of(st)
-                new = vbody(st, scens)
+                new = vbody(st, scens, fpts)
                 return jax.tree.map(
                     lambda o, nw: jnp.where(
                         a.reshape((batch,) + (1,) * (o.ndim - 1)), nw, o),
@@ -878,8 +898,8 @@ def make_sqp_solver_batched(cfg: MpcConfig, objective,
             idx = jnp.nonzero(alive, size=compact_n, fill_value=0)[0]
             sub_st = jax.tree.map(lambda a_: a_[idx], st)
             sub_sc = jax.tree.map(lambda a_: a_[idx], scens)
-            fin = jax.vmap(lambda s, sc: lane(sc)[1](s, max_iters_))(
-                sub_st, sub_sc)
+            fin = jax.vmap(lambda s, sc, ft: lane(sc, ft)[1](s, max_iters_))(
+                sub_st, sub_sc, fpts[idx])
             st = jax.tree.map(lambda full, sub: full.at[idx].set(sub),
                               st, fin)
             return SolveResult(x=st.x, fun=st.f, converged=st.done, iters=st.k)

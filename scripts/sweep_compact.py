@@ -28,6 +28,10 @@ def main() -> None:
                          "until <= frac*B lanes alive, then compact tail)")
     ap.add_argument("--ls-wave", type=int, default=1,
                     help="solver_ls_wave candidates per merit eval")
+    ap.add_argument("--single-phase", action="store_true",
+                    help="library-default Armijo schedule (0.5^j, budget 16) "
+                         "instead of the bench two-phase b7 point — for "
+                         "A/Bs against the SHIPPED default program")
     ap.add_argument("--patch", type=int, default=0,
                     help="solver_costmap_patch halfwidth; 0 = full-map "
                          "gather (the bench.py operating point), -1 = auto "
@@ -60,6 +64,9 @@ def main() -> None:
         solver_max_backtracks=7, solver_ls_coarse_after=2,
         solver_ls_coarse_factor=0.0625,
     )
+    if args.single_phase:
+        base = base.replace(solver_max_backtracks=16,
+                            solver_ls_coarse_after=0)
     if args.patch != 0:
         from neo_mpc_planner2_tpu.ops.costmap import required_patch_halfwidth
         h = (required_patch_halfwidth(base, 0.05) if args.patch < 0

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["Costmap", "CostmapPatch", "u8_source_enabled", "world_to_map",
+           "grid_bounds",
            "cost_at_cell",
            "cost_at_world", "cost_at_cells_onehot", "cost_at_world_onehot",
            "cost_at_world_bilinear", "extract_patch", "patch_cost_at_world",
@@ -44,8 +45,9 @@ U8_AUTO_MIN_CELLS = 128 * 128
 def u8_source_enabled(solver_costmap_u8, cells: int) -> bool:
     """Resolve the cfg.solver_costmap_u8 knob against a concrete map size.
 
-    `cells` is the number of cells of the map the solver actually samples
-    (H*W; for rolling-window runs, the window, not the world map). "auto"
+    `cells` is the number of cells of the GATHER SOURCE the solver actually
+    reads (H*W): the world map for zero-copy rolling views, the window for
+    materialized rolling slices. "auto"
     turns the uint8 gather source on only for maps of >= 128² cells — the
     measured crossover where the 4x-smaller random-read footprint starts
     winning (PERF.md). The exactness caveat is unchanged: decode is u8/255.0
@@ -94,6 +96,19 @@ class Costmap:
     # /255 step (error <= 1/510) — hence opt-in (cfg.solver_costmap_u8).
     # Same staleness invariant as `flat`.
     flat_u8: "jnp.ndarray | None" = None
+    # Optional ZERO-COPY rolling-window view (nav2 rolling local costmap).
+    # When win_cells is set, `data`/`flat`/`flat_u8` hold the full WORLD map
+    # and the window only narrows the BOUNDS semantics: cells outside the
+    # (win_cells,)² rectangle whose lower-corner cell is win_lo read as
+    # lethal out-of-bounds, and extent_world() reflects the window size.
+    # World→cell math is unchanged (indices stay world-frame), so sampled
+    # in-window values are bit-identical to a materialized slice — without
+    # the per-tick dynamic_slice copy + re-flatten the slice pays (67 MB/tick
+    # at batch 4096×64²; the rolling regime ran at 46 % of the static rate
+    # before this view, PERF.md round 8). Build via simulation.rolling_view.
+    win_lo: "jnp.ndarray | None" = None     # (..., 2) int32 (col, row)
+    win_cells: "int | None" = flax.struct.field(pytree_node=False,
+                                                default=None)
 
     def with_flat(self, u8: bool = False) -> "Costmap":
         """Cache the flattened data view (amortizes the relayout copy).
@@ -160,9 +175,38 @@ class Costmap:
 
     def extent_world(self):
         """Half extent used by plan pruning (NeoMpcPlanner.cpp:80-82):
-        max(size_cells_x, size_cells_y) * resolution / 2."""
+        max(size_cells_x, size_cells_y) * resolution / 2. For a rolling
+        view, the WINDOW size — the extent the controller sees."""
+        if self.win_cells is not None:
+            return self.win_cells * self.resolution / 2.0
         h, w = self.data.shape[-2], self.data.shape[-1]
         return jnp.maximum(h, w) * self.resolution / 2.0
+
+
+def grid_bounds(cm: Costmap):
+    """The in-bounds cell rectangle [lo_x, hi_x) × [lo_y, hi_y) in world-frame
+    cell coordinates: the full grid, or the rolling-window rectangle when the
+    zero-copy view is set. Every sampler's OOB policy routes through this so
+    the window semantics live in one place."""
+    h, w = cm.data.shape[-2], cm.data.shape[-1]
+    if cm.win_cells is None:
+        return 0, 0, w, h
+    lo_x = cm.win_lo[..., 0]
+    lo_y = cm.win_lo[..., 1]
+    return lo_x, lo_y, lo_x + cm.win_cells, lo_y + cm.win_cells
+
+
+def grid_origin(cm: Costmap):
+    """Effective (ox, oy) grid origin for index math: the window's origin for
+    a rolling view — computed with the SAME float expression a materialized
+    slice would carry (origin + lo_cell·resolution), so floor-boundary
+    rounding is bit-identical between the view and the slice."""
+    ox = cm.origin[..., 0]
+    oy = cm.origin[..., 1]
+    if cm.win_cells is not None:
+        ox = ox + cm.win_lo[..., 0].astype(jnp.float32) * cm.resolution
+        oy = oy + cm.win_lo[..., 1].astype(jnp.float32) * cm.resolution
+    return ox, oy
 
 
 def world_to_map(cm: Costmap, wx: jnp.ndarray, wy: jnp.ndarray):
@@ -175,11 +219,18 @@ def world_to_map(cm: Costmap, wx: jnp.ndarray, wy: jnp.ndarray):
     where truncation toward zero would alias it onto cell 0 (an ADVICE round-1
     finding). At/above the origin floor and truncation agree.
 
-    Returns raw (possibly out-of-range) indices; bounds handling happens in
-    cost_at_cell so the out-of-bounds policy lives in one place.
+    Returns raw (possibly out-of-range) WORLD-frame indices; bounds handling
+    happens in cost_at_cell so the out-of-bounds policy lives in one place.
+    For a rolling view the float math runs against the WINDOW origin (the
+    expression a materialized slice would use — grid_origin) and shifts back
+    by the window corner, so boundary rounding matches the slice bit-for-bit.
     """
-    mx = jnp.int32(jnp.floor((wx - cm.origin[..., 0]) / cm.resolution))
-    my = jnp.int32(jnp.floor((wy - cm.origin[..., 1]) / cm.resolution))
+    ox, oy = grid_origin(cm)
+    mx = jnp.int32(jnp.floor((wx - ox) / cm.resolution))
+    my = jnp.int32(jnp.floor((wy - oy) / cm.resolution))
+    if cm.win_cells is not None:
+        mx = mx + cm.win_lo[..., 0]
+        my = my + cm.win_lo[..., 1]
     return mx, my
 
 
@@ -193,7 +244,8 @@ def cost_at_cell(cm: Costmap, mx: jnp.ndarray, my: jnp.ndarray) -> jnp.ndarray:
     costmaps are handled by vmap, so data is (H, W) here.
     """
     h, w = cm.data.shape[-2], cm.data.shape[-1]
-    in_bounds = (mx >= 0) & (mx < w) & (my >= 0) & (my < h)
+    lo_x, lo_y, hi_x, hi_y = grid_bounds(cm)
+    in_bounds = (mx >= lo_x) & (mx < hi_x) & (my >= lo_y) & (my < hi_y)
     mxc = jnp.clip(mx, 0, w - 1)
     myc = jnp.clip(my, 0, h - 1)
     flat = (cm.flat if cm.flat is not None
@@ -225,7 +277,8 @@ def cost_at_cells_onehot(cm: Costmap, mx: jnp.ndarray, my: jnp.ndarray) -> jnp.n
     mx/my: (S,) int32 flattened sample indices. Out-of-bounds -> LETHAL_COST.
     """
     h, w = cm.data.shape[-2], cm.data.shape[-1]
-    in_bounds = (mx >= 0) & (mx < w) & (my >= 0) & (my < h)
+    lo_x, lo_y, hi_x, hi_y = grid_bounds(cm)
+    in_bounds = (mx >= lo_x) & (mx < hi_x) & (my >= lo_y) & (my < hi_y)
     mxc = jnp.clip(mx, 0, w - 1)
     myc = jnp.clip(my, 0, h - 1)
     rows = (myc[:, None] == jnp.arange(h)[None, :]).astype(cm.data.dtype)  # (S, H)
@@ -345,6 +398,12 @@ def make_point_sampler(cm: Costmap, cx, cy, patch_halfwidth: int):
     exact gather semantics of cost_at_world.
     """
     if patch_halfwidth > 0:
+        if cm.win_cells is not None:
+            raise ValueError(
+                "solver_costmap_patch is not supported on a rolling-window "
+                "VIEW costmap (the patch would read world cells outside the "
+                "window without the lethal out-of-window policy); use the "
+                "materializing rolling_window slice instead")
         # One-hot contraction on the window. A flat-gather variant of this
         # path was also measured (round 2): SLOWER still (202k vs 302k
         # solves/s end-to-end) and its batched small-minor-dim gather hit a
@@ -364,10 +423,11 @@ def make_point_sampler(cm: Costmap, cx, cy, patch_halfwidth: int):
     # (with_flat(u8=True)); decode u8/255.0 matches from_nav2_costmap's
     # encode expression bit-for-bit for raw-grid maps (see Costmap.flat_u8).
     flat_q = cm.flat_u8
+    lo_x, lo_y, hi_x, hi_y = grid_bounds(cm)
 
     def sample(wx, wy):
         mx, my = world_to_map(cm, wx, wy)
-        in_bounds = (mx >= 0) & (mx < w) & (my >= 0) & (my < h)
+        in_bounds = (mx >= lo_x) & (mx < hi_x) & (my >= lo_y) & (my < hi_y)
         mxc = jnp.clip(mx, 0, w - 1)
         myc = jnp.clip(my, 0, h - 1)
         if flat_q is not None:
@@ -386,14 +446,18 @@ def cost_at_world_bilinear(cm: Costmap, wx: jnp.ndarray, wy: jnp.ndarray) -> jnp
     direction instead of the zero-almost-everywhere gradient of nearest-cell
     sampling. Samples at cell centers.
     """
-    fx = (wx - cm.origin[..., 0]) / cm.resolution - 0.5
-    fy = (wy - cm.origin[..., 1]) / cm.resolution - 0.5
+    ox, oy = grid_origin(cm)
+    fx = (wx - ox) / cm.resolution - 0.5
+    fy = (wy - oy) / cm.resolution - 0.5
     x0 = jnp.floor(fx)
     y0 = jnp.floor(fy)
     tx = fx - x0
     ty = fy - y0
     x0i = jnp.int32(x0)
     y0i = jnp.int32(y0)
+    if cm.win_cells is not None:  # window-local -> world-frame cell indices
+        x0i = x0i + cm.win_lo[..., 0]
+        y0i = y0i + cm.win_lo[..., 1]
 
     c00 = cost_at_cell(cm, x0i, y0i)
     c10 = cost_at_cell(cm, x0i + 1, y0i)

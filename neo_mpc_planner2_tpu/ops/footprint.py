@@ -103,19 +103,22 @@ def line_cost_exact(cm: Costmap, x0, y0, x1, y1) -> jnp.ndarray:
     into the max whenever either endpoint cell is out of bounds (the rectangle
     is convex, so two in-bounds endpoints never leave the map).
     """
+    from .costmap import grid_bounds, grid_origin, world_to_map
+
     h, w = cm.data.shape[-2], cm.data.shape[-1]
     res = cm.resolution
-    ox = cm.origin[..., 0]
-    oy = cm.origin[..., 1]
+    # Effective (window) origin: bit-equal float math with a materialized
+    # rolling-window slice (see costmap.grid_origin); indices stay
+    # world-frame via world_to_map's shift.
+    ox, oy = grid_origin(cm)
+    lo_x, lo_y, hi_x, hi_y = grid_bounds(cm)
     x0, y0, x1, y1 = jnp.broadcast_arrays(
         jnp.asarray(x0, jnp.float32), jnp.asarray(y0, jnp.float32),
         jnp.asarray(x1, jnp.float32), jnp.asarray(y1, jnp.float32))
 
     big = jnp.float32(jnp.inf)
-    mx = jnp.int32(jnp.floor((x0 - ox) / res))
-    my = jnp.int32(jnp.floor((y0 - oy) / res))
-    ex = jnp.int32(jnp.floor((x1 - ox) / res))
-    ey = jnp.int32(jnp.floor((y1 - oy) / res))
+    mx, my = world_to_map(cm, x0, y0)
+    ex, ey = world_to_map(cm, x1, y1)
 
     dx = x1 - x0
     dy = y1 - y0
@@ -123,9 +126,11 @@ def line_cost_exact(cm: Costmap, x0, y0, x1, y1) -> jnp.ndarray:
     step_y = jnp.where(dy > 0, 1, -1).astype(jnp.int32)
 
     # Parametric distance to the next cell boundary along each axis
-    # (cpp:117-130 formulas).
-    edge_x = ox + (mx + (dx > 0)).astype(jnp.float32) * res
-    edge_y = oy + (my + (dy > 0)).astype(jnp.float32) * res
+    # (cpp:117-130 formulas). Cell indices are world-frame; the boundary
+    # expression uses window-local indices (mx - lo) against the window
+    # origin, the same floats the slice computes.
+    edge_x = ox + ((mx - lo_x) + (dx > 0)).astype(jnp.float32) * res
+    edge_y = oy + ((my - lo_y) + (dy > 0)).astype(jnp.float32) * res
     t_max_x = jnp.where(dx != 0.0, (edge_x - x0) / dx, big)
     t_max_y = jnp.where(dy != 0.0, (edge_y - y0) / dy, big)
     t_delta_x = jnp.where(dx != 0.0, res / jnp.abs(dx), big)
@@ -134,8 +139,9 @@ def line_cost_exact(cm: Costmap, x0, y0, x1, y1) -> jnp.ndarray:
     best = cost_at_cell(cm, mx, my)
     # Out-of-bounds endpoint => the segment leaves the map => lethal somewhere
     # along it (see docstring); the start cell is already in `best` via
-    # cost_at_cell's OOB policy.
-    end_oob = (ex < 0) | (ex >= w) | (ey < 0) | (ey >= h)
+    # cost_at_cell's OOB policy. Bounds come from grid_bounds so a rolling-
+    # window VIEW's out-of-window band counts as off-map here too.
+    end_oob = (ex < lo_x) | (ex >= hi_x) | (ey < lo_y) | (ey >= hi_y)
     best = jnp.where(end_oob, jnp.maximum(best, 1.0), best)
 
     def step(carry, _):

@@ -38,8 +38,10 @@ server-side like the reference (py:369-371) unless the request carries an
 explicit "delta_t".
 
 The device state (warm start, last control, timers) stays resident between
-calls as a ControlState pytree; only the 6-float request and 3-float response
-cross the host boundary per tick once the costmap is set.
+calls as a ControlState pytree; per tick, exactly ONE packed request vector
+crosses host->device and ONE packed response vector crosses device->host
+(per-field transfers each pay a full link RTT — measured 177 ms/tick through
+a ~25 ms-RTT tunnel before the packing, PERF.md round 8).
 """
 
 from __future__ import annotations
@@ -110,37 +112,60 @@ class OptimizerSession:
         self._fleet_n = 0
         self._rebuild()
 
+    # Request vector layout (one host->device put per tick instead of seven —
+    # through a network tunnel each separate transfer pays a full RTT):
+    # [pose(3), carrot(3), goal(3), vel(3), switch_opt, control_interval,
+    #  delta_t] = 15 floats. Response vector: [cmd(3), converged, iters, fun,
+    # collision, collision_footprint, local_plan((N+1)*3)] — ONE
+    # device->host fetch per tick (the round-8 serving bench measured ~7
+    # serial per-field fetches at ~25 ms tunnel RTT each = 177 ms/tick).
+    _REQ_W = 15
+
     def _rebuild(self) -> None:
         cfg = self.cfg
         solver = make_sqp_solver(cfg, make_objective(cfg, parity=True))
+
+        def pack_out(out):
+            f32 = out.cmd_vel.dtype
+            return jnp.concatenate([
+                out.cmd_vel,
+                out.solver_converged.astype(f32)[None],
+                out.solver_iters.astype(f32)[None],
+                out.fun.astype(f32)[None],
+                out.collision.astype(f32)[None],
+                out.collision_footprint.astype(f32)[None],
+                out.local_plan.reshape(-1),
+            ])
+
+        def one_req(st, rq, costmap, footprint, weights, limits):
+            scen = Scenario(
+                current_pose=rq[0:3], carrot_pose=rq[3:6], goal_pose=rq[6:9],
+                current_vel=rq[9:12], footprint=footprint, costmap=costmap,
+                switch_opt=rq[12] != 0, control_interval=rq[13],
+                weights=weights, limits=limits)
+            out = solve_step(cfg, st, scen, rq[14], solver=solver)
+            return pack_out(out), out.state
 
         # Single-robot op routes through a batch-1 vmapped executable: the
         # unbatched scalar program (footprint sampling in _post_solve)
         # triggers a minutes-long XLA-TPU compile pathology that the vmapped
         # one does not (same treatment as MpcEngine.step; CLAUDE.md).
-        def step(state, scen, delta_t):
-            out = jax.vmap(
-                lambda st, sc, dt: solve_step(cfg, st, sc, dt, solver=solver)
-            )(*jax.tree.map(lambda x: x[None], (state, scen, delta_t)))
-            return jax.tree.map(lambda x: x[0], out)
+        def step(state, req, costmap, footprint, weights, limits):
+            packed, st = jax.vmap(
+                lambda st1, rq: one_req(st1, rq, costmap, footprint,
+                                        weights, limits)
+            )(jax.tree.map(lambda x: x[None], state), req[None])
+            return packed[0], jax.tree.map(lambda x: x[0], st)
 
         self._step = jax.jit(step)
 
-        def fleet_step(state, poses, carrots, goals, vels, switch, ci,
-                       delta_t, costmap, footprint, weights, limits):
+        def fleet_step(state, reqs, costmap, footprint, weights, limits):
             # costmap/footprint/weights/limits are closed over per lane (NOT
             # vmapped and never returned), so the shared map is read in place
             # instead of being broadcast-materialized B times.
-            def one(st, cp, ca, go, cv, so, ci1, dt):
-                scen = Scenario(
-                    current_pose=cp, carrot_pose=ca, goal_pose=go,
-                    current_vel=cv, footprint=footprint, costmap=costmap,
-                    switch_opt=so, weights=weights, control_interval=ci1,
-                    limits=limits)
-                return solve_step(cfg, st, scen, dt, solver=solver)
-
-            return jax.vmap(one)(state, poses, carrots, goals, vels, switch,
-                                 ci, delta_t)
+            return jax.vmap(
+                lambda st1, rq: one_req(st1, rq, costmap, footprint,
+                                        weights, limits))(state, reqs)
 
         self._fleet_step = jax.jit(fleet_step)
         # Weights/limits always travel as traced pytrees so runtime parameter
@@ -230,6 +255,37 @@ class OptimizerSession:
     def op_ping(self, msg: dict) -> dict:
         return {"ok": True, "backend": jax.default_backend()}
 
+    def _pack_req(self, msg: dict, delta_t: float) -> np.ndarray:
+        req = np.zeros(self._REQ_W, np.float32)
+        req[0:3] = np.asarray(msg["current_pose"], np.float32)
+        req[3:6] = np.asarray(msg["carrot_pose"], np.float32)
+        req[6:9] = np.asarray(msg["goal_pose"], np.float32)
+        req[9:12] = np.asarray(msg["current_vel"], np.float32)
+        req[12] = 1.0 if msg.get("switch_opt", False) else 0.0
+        req[13] = float(msg.get("control_interval",
+                                self.cfg.control_interval))
+        req[14] = float(delta_t)
+        return req
+
+    def _resp_from_vec(self, vec: np.ndarray) -> dict:
+        n = self.cfg.control_steps
+        return {
+            "output_vel": vec[:3].tolist(),
+            "success": bool(vec[3] > 0.5),
+            "iterations": int(round(float(vec[4]))),
+            "cost": float(vec[5]),
+            "collision": bool(vec[6] > 0.5),
+            "collision_footprint": bool(vec[7] > 0.5),
+            "local_plan": vec[8:8 + 3 * (n + 1)].reshape(n + 1, 3).tolist(),
+        }
+
+    def _warmup_resp(self) -> dict:
+        return {"output_vel": [0.0, 0.0, 0.0], "success": True,
+                "iterations": 0, "cost": 0.0, "collision": False,
+                "collision_footprint": False, "pipelined_warmup": True,
+                "local_plan": np.zeros(
+                    (self.cfg.control_steps + 1, 3)).tolist()}
+
     def op_optimizer(self, msg: dict) -> dict:
         if self.costmap is None:
             return {"error": "no costmap set"}
@@ -239,19 +295,6 @@ class OptimizerSession:
             # explicitly.
             return {"error": "no footprint set"}
 
-        scen = Scenario.create(
-            current_pose=msg["current_pose"],
-            carrot_pose=msg["carrot_pose"],
-            goal_pose=msg["goal_pose"],
-            current_vel=msg["current_vel"],
-            footprint=self.footprint,
-            costmap=self.costmap,
-            switch_opt=bool(msg.get("switch_opt", False)),
-            control_interval=float(msg.get("control_interval",
-                                           self.cfg.control_interval)),
-            weights=self._weights,
-            limits=self._limits,
-        )
         if "delta_t" in msg:
             delta_t = float(msg["delta_t"])
         else:
@@ -259,30 +302,20 @@ class OptimizerSession:
             delta_t = now - self.last_time
             self.last_time = now
 
-        out = self._step(self.state, scen, jnp.float32(delta_t))
-        self.state = out.state
+        req = self._pack_req(msg, delta_t)  # one put, one fetch per tick
+        packed, self.state = self._step(
+            self.state, jnp.asarray(req), self.costmap, self.footprint,
+            self._weights, self._limits)
 
         if self.pipelined:
             # Serve the previous tick's (already finished) result; the solve
             # dispatched above completes in the background on device.
-            prev, self._pending = self._pending, out
+            prev, self._pending = self._pending, packed
             if prev is None:
-                return {"output_vel": [0.0, 0.0, 0.0], "success": True,
-                        "iterations": 0, "cost": 0.0, "collision": False,
-                        "collision_footprint": False, "pipelined_warmup": True,
-                        "local_plan": np.zeros(
-                            (self.cfg.control_steps + 1, 3)).tolist()}
-            out = prev
+                return self._warmup_resp()
+            packed = prev
 
-        return {
-            "output_vel": np.asarray(out.cmd_vel).tolist(),
-            "success": bool(out.solver_converged),
-            "iterations": int(out.solver_iters),
-            "cost": float(out.fun),
-            "collision": bool(out.collision),
-            "collision_footprint": bool(out.collision_footprint),
-            "local_plan": np.asarray(out.local_plan).tolist(),
-        }
+        return self._resp_from_vec(np.asarray(packed))
 
     def _resize_fleet(self, pad: int) -> None:
         """Grow/shrink the persistent lane state to `pad` lanes: lanes that
@@ -332,21 +365,6 @@ class OptimizerSession:
                     jnp.broadcast_to(f, (pad - prev,) + f.shape)),
                 self._fleet_state, fresh)
 
-        def field(name, width, default=None):
-            rows = np.zeros((pad, width), np.float32)
-            for i, r in enumerate(robots):
-                rows[i] = np.asarray(
-                    r[name] if default is None else r.get(name, default),
-                    np.float32)
-            return jnp.asarray(rows)
-
-        default_ci = float(msg.get("control_interval",
-                                   self.cfg.control_interval))
-        ci = np.full((pad,), default_ci, np.float32)
-        switch = np.zeros((pad,), bool)
-        for i, r in enumerate(robots):
-            ci[i] = float(r.get("control_interval", default_ci))
-            switch[i] = bool(r.get("switch_opt", False))
         if "delta_t" in msg:
             delta_t = float(msg["delta_t"])
         else:
@@ -354,54 +372,37 @@ class OptimizerSession:
             delta_t = now - self._fleet_last_time
             self._fleet_last_time = now
 
-        out = self._fleet_step(
-            self._fleet_state,
-            field("current_pose", 3), field("carrot_pose", 3),
-            field("goal_pose", 3), field("current_vel", 3),
-            jnp.asarray(switch), jnp.asarray(ci),
-            jnp.full((pad,), delta_t, jnp.float32),
+        default_ci = msg.get("control_interval", self.cfg.control_interval)
+        reqs = np.zeros((pad, self._REQ_W), np.float32)
+        for i, r in enumerate(robots):
+            reqs[i] = self._pack_req(
+                {**r, "control_interval": r.get("control_interval",
+                                                default_ci)}, delta_t)
+        reqs[n:, 14] = delta_t  # pad lanes share the tick clock
+
+        packed, self._fleet_state = self._fleet_step(
+            self._fleet_state, jnp.asarray(reqs),
             self.costmap, self.footprint, self._weights, self._limits)
-        self._fleet_state = out.state
         self._fleet_n = n
 
-        warmup_entry = None
         n_out = n
         if self.pipelined:
-            prev, self._fleet_pending = self._fleet_pending, (out, n)
-            zero_plan = np.zeros((self.cfg.control_steps + 1, 3)).tolist()
-            warmup_entry = {
-                "output_vel": [0.0, 0.0, 0.0], "success": True,
-                "iterations": 0, "cost": 0.0, "collision": False,
-                "collision_footprint": False, "pipelined_warmup": True,
-                "local_plan": zero_plan}
+            prev, self._fleet_pending = self._fleet_pending, (packed, n)
             if prev is None:
-                return {"results": [dict(warmup_entry) for _ in range(n)]}
+                return {"results": [self._warmup_resp() for _ in range(n)]}
             # Fleet-size churn: surviving lanes (< min(prev_n, n)) get the
             # previous tick's real results; only NEW lanes get a warmup
             # entry (ADVICE round-2 — all-or-nothing warmup starved
             # every robot under per-tick churn). prev's pad can only differ
             # from the current one if _resize_fleet ran, which clears
             # _fleet_pending — so prev's arrays are indexable here.
-            out, prev_n = prev
+            packed, prev_n = prev
             n_out = min(prev_n, n)
 
-        # One host fetch per field (batched), then slice off the pad lanes.
-        cmd = np.asarray(out.cmd_vel)
-        conv = np.asarray(out.solver_converged)
-        iters = np.asarray(out.solver_iters)
-        fun = np.asarray(out.fun)
-        coll = np.asarray(out.collision)
-        collfp = np.asarray(out.collision_footprint)
-        lp = np.asarray(out.local_plan)
-        results = [
-            {"output_vel": cmd[i].tolist(),
-             "success": bool(conv[i]),
-             "iterations": int(iters[i]),
-             "cost": float(fun[i]),
-             "collision": bool(coll[i]),
-             "collision_footprint": bool(collfp[i]),
-             "local_plan": lp[i].tolist()} for i in range(n_out)]
-        results += [dict(warmup_entry) for _ in range(n - n_out)]
+        # ONE batched host fetch, then slice off the pad lanes.
+        vecs = np.asarray(packed)
+        results = [self._resp_from_vec(vecs[i]) for i in range(n_out)]
+        results += [self._warmup_resp() for _ in range(n - n_out)]
         return {"results": results}
 
     def handle(self, msg: dict) -> dict:

@@ -23,7 +23,7 @@ from .ops.pursuit import Plan
 from .ops.rollout import rollout
 
 __all__ = ["SimResult", "simulate_follow_path", "batch_simulate",
-           "rolling_window"]
+           "rolling_window", "rolling_view"]
 
 
 def rolling_window(world: Costmap, pose: jnp.ndarray, cells: int) -> Costmap:
@@ -35,7 +35,13 @@ def rolling_window(world: Costmap, pose: jnp.ndarray, cells: int) -> Costmap:
     robot every tick, so plan pruning (half the window extent,
     NeoMpcPlanner.cpp:80-82) and the lethal out-of-window band keep their
     deployment semantics while the robot traverses arbitrarily long plans.
-    world: single-lane (H, W) Costmap; vmap for batches. pose: (3,)."""
+    world: single-lane (H, W) Costmap; vmap for batches. pose: (3,).
+
+    MATERIALIZING variant (dynamic_slice copy per call). The closed-loop
+    simulators default to the zero-copy `rolling_view` below — identical
+    sampling semantics without the per-tick copy; this slice form remains
+    for hosts that need a standalone window array (e.g. to hand to the
+    native front-end) and as the equivalence oracle for the view."""
     H, W = world.data.shape[-2], world.data.shape[-1]
     mx, my = world_to_map(world, pose[0], pose[1])
     sx = jnp.clip(mx - cells // 2, 0, W - cells)
@@ -43,6 +49,24 @@ def rolling_window(world: Costmap, pose: jnp.ndarray, cells: int) -> Costmap:
     data = jax.lax.dynamic_slice(world.data, (sy, sx), (cells, cells))
     origin = world.origin + jnp.stack([sx, sy]) * world.resolution
     return Costmap(data=data, origin=origin, resolution=world.resolution)
+
+
+def rolling_view(world: Costmap, pose: jnp.ndarray, cells: int) -> Costmap:
+    """ZERO-COPY rolling window: the same nav2 semantics as `rolling_window`
+    — identical window placement (robot-centered, clamped inside the world),
+    identical in-window values, identical lethal out-of-window band — but as
+    BOUNDS METADATA on the world map (Costmap.win_lo/win_cells) instead of a
+    materialized slice. Samplers read the world map's (hoisted) flat view in
+    place, so the per-tick per-lane dynamic_slice copy + re-flatten
+    disappears (the rolling regime ran at 46 % of the static-map rate with
+    the slice; PERF.md round 8). world: any leading batch dims; pose
+    broadcasts accordingly when vmapped."""
+    H, W = world.data.shape[-2], world.data.shape[-1]
+    mx, my = world_to_map(world, pose[0], pose[1])
+    sx = jnp.clip(mx - cells // 2, 0, W - cells)
+    sy = jnp.clip(my - cells // 2, 0, H - cells)
+    return world.replace(win_lo=jnp.stack([sx, sy], axis=-1),
+                         win_cells=cells)
 
 
 class SimResult(NamedTuple):
@@ -66,21 +90,27 @@ def simulate_follow_path(
     n_ticks: int,
     parity: bool = True,
     window_cells: int | None = None,
+    window_view: bool = True,
 ) -> SimResult:
     """Run n_ticks of the 1/controller_frequency control loop, integrating the
     command with the same kinematic model the controller assumes.
 
     window_cells: when set, `costmap` is the WORLD map and the controller
     sees only the (window_cells,)² rolling window re-centered on the robot
-    each tick (nav2 rolling local costmap semantics)."""
+    each tick (nav2 rolling local costmap semantics). window_view selects
+    the zero-copy bounds-metadata view (default; see rolling_view) vs the
+    materializing dynamic_slice per tick (the equivalence oracle)."""
     dt = jnp.float32(cfg.control_interval)
-    # Resolve the u8 gather-source knob against the map the solver samples
-    # (the rolling window when one is configured).
-    sampled_cells = (window_cells * window_cells if window_cells is not None
-                     else costmap.data.shape[-2] * costmap.data.shape[-1])
+    # Resolve the u8 gather-source knob against the map the solver samples:
+    # the world map for the zero-copy view (it IS the gather source), the
+    # window for the materializing slice.
+    world_cells = costmap.data.shape[-2] * costmap.data.shape[-1]
+    sampled_cells = (window_cells * window_cells
+                     if window_cells is not None and not window_view
+                     else world_cells)
     u8 = u8_source_enabled(cfg.solver_costmap_u8, sampled_cells)
     # Flat-view hoist: once per run, not once per tick (see batch_simulate).
-    if window_cells is None:
+    if window_cells is None or window_view:
         if costmap.flat is None or (u8 and costmap.flat_u8 is None):
             costmap = costmap.with_flat(u8=u8)
 
@@ -88,6 +118,8 @@ def simulate_follow_path(
         state, pose, vel = carry
         if window_cells is None:
             cm = costmap
+        elif window_view:
+            cm = rolling_view(costmap, pose, window_cells)
         else:
             # Re-centered window is fresh data every tick; flatten it here so
             # the solver loop's gather view isn't re-materialized per trip.
@@ -116,6 +148,7 @@ def simulate_follow_path(
 def batch_simulate(cfg: MpcConfig, scenario_batch, n_ticks: int,
                    parity: bool = True, init=None,
                    window_cells: int | None = None,
+                   window_view: bool = True,
                    dynamic_obstacles=None,
                    obstacle_lethal_threshold: float | None = None
                    ) -> SimResult:
@@ -134,8 +167,11 @@ def batch_simulate(cfg: MpcConfig, scenario_batch, n_ticks: int,
     window_cells: when set, scenario_batch.costmap is the per-lane WORLD map
     and each tick the controller sees the (window_cells,)² rolling window
     re-centered on its lane's robot (nav2 rolling local costmap semantics).
-    Costs one window extraction per lane per tick (~window bytes of HBM
-    traffic) on top of the static-map path.
+    window_view (default True) implements it as the ZERO-COPY bounds view
+    (rolling_view: world flat views hoisted once, no per-tick copy);
+    False keeps the materializing dynamic_slice per tick (the equivalence
+    oracle for the view; costs a window copy + re-flatten per lane per
+    tick).
 
     dynamic_obstacles: optional (centers (B, O, 2), amp (B, O),
     vel (B, O, 2)) blob parameters in WORLD coordinates. The costmap is then
@@ -157,13 +193,15 @@ def batch_simulate(cfg: MpcConfig, scenario_batch, n_ticks: int,
     # outside the tick scan (inside, XLA re-runs the relayout every tick —
     # a 64 MB copy per tick at batch 4096; round-3 trace).
     costmap = sb.costmap
-    sampled_cells = (window_cells * window_cells if window_cells is not None
-                     else costmap.data.shape[-2] * costmap.data.shape[-1])
+    world_cells = costmap.data.shape[-2] * costmap.data.shape[-1]
+    sampled_cells = (window_cells * window_cells
+                     if window_cells is not None and not window_view
+                     else world_cells)
     u8 = u8_source_enabled(cfg.solver_costmap_u8, sampled_cells)
     if costmap.flat is None or (u8 and costmap.flat_u8 is None):
         costmap = costmap.with_flat(u8=u8)
-    if window_cells is not None:
-        # world map; windows (re-)flatten per tick
+    if window_cells is not None and not window_view:
+        # materializing slice mode: windows (re-)flatten per tick
         costmap = sb.costmap.replace(flat=None, flat_u8=None)
     if dynamic_obstacles is not None:
         if window_cells is not None:
@@ -200,6 +238,9 @@ def batch_simulate(cfg: MpcConfig, scenario_batch, n_ticks: int,
                          resolution=sb.costmap.resolution).with_flat(u8=u8)
         elif window_cells is None:
             cm = costmap
+        elif window_view:
+            cm = jax.vmap(rolling_view, in_axes=(0, 0, None))(
+                costmap, pose, window_cells)
         else:
             cm = jax.vmap(rolling_window, in_axes=(0, 0, None))(
                 costmap, pose, window_cells).with_flat(u8=u8)

@@ -162,6 +162,56 @@ class TestRollingWindow:
                 np.asarray(cost_at_world(win, wx, wy)),
                 np.asarray(cost_at_world(world, wx, wy)))
 
+    def test_view_sampling_matches_slice(self, sim_cfg):
+        """The zero-copy rolling VIEW (bounds metadata on the world map) must
+        sample identically to the materialized slice at every point — inside
+        the window (same cells), outside it (lethal out-of-window band), and
+        beyond the world — across every sampler the engine uses."""
+        from neo_mpc_planner2_tpu.ops.costmap import (
+            cost_at_world, cost_at_world_bilinear, cost_at_world_onehot)
+        from neo_mpc_planner2_tpu.ops.footprint import line_cost_exact
+        from neo_mpc_planner2_tpu.simulation import (rolling_view,
+                                                     rolling_window)
+        rng = np.random.default_rng(5)
+        world = mpc.Costmap.create(rng.random((96, 80)), origin=(-2.0, -1.0),
+                                   resolution=0.05).with_flat()
+        for pose_xy in [(0.0, 0.5), (-1.9, -0.9), (1.9, 3.7), (5.0, 5.0)]:
+            pose = jnp.asarray([*pose_xy, 0.0], jnp.float32)
+            win = rolling_window(world, pose, 32)
+            view = rolling_view(world, pose, 32)
+            assert float(view.extent_world()) == pytest.approx(
+                float(win.extent_world()))
+            # Points spanning in-window, out-of-window, and out-of-world.
+            wx = jnp.asarray(rng.uniform(-3.0, 5.0, 256), jnp.float32)
+            wy = jnp.asarray(rng.uniform(-2.0, 6.0, 256), jnp.float32)
+            for fn in (cost_at_world, cost_at_world_onehot,
+                       cost_at_world_bilinear):
+                np.testing.assert_array_equal(
+                    np.asarray(fn(view, wx, wy)), np.asarray(fn(win, wx, wy)),
+                    err_msg=fn.__name__)
+            np.testing.assert_array_equal(
+                np.asarray(line_cost_exact(view, wx[:32], wy[:32],
+                                           wx[32:64], wy[32:64])),
+                np.asarray(line_cost_exact(win, wx[:32], wy[:32],
+                                           wx[32:64], wy[32:64])))
+
+    def test_view_closed_loop_matches_slice(self, sim_cfg):
+        """Full closed-loop rolling sim: view == slice (same sampled values;
+        different gather graphs may reassociate float fusions ~1e-6)."""
+        from neo_mpc_planner2_tpu.scenarios import make_scenario_batch
+        sb = make_scenario_batch(sim_cfg, 4, seed=9, map_size=96,
+                                 plan_points=64, plan_length_range=(1.5, 2.2))
+        view = jax.jit(lambda b: batch_simulate(
+            sim_cfg, b, 40, window_cells=64, window_view=True))(sb)
+        slc = jax.jit(lambda b: batch_simulate(
+            sim_cfg, b, 40, window_cells=64, window_view=False))(sb)
+        np.testing.assert_allclose(np.asarray(view.cmds),
+                                   np.asarray(slc.cmds), atol=2e-6)
+        np.testing.assert_allclose(np.asarray(view.poses),
+                                   np.asarray(slc.poses), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(view.lethal),
+                                      np.asarray(slc.lethal))
+
     def test_batched_rolling_matches_single(self, sim_cfg):
         """batch_simulate(window_cells=...) lane == simulate_follow_path on
         the same scenario."""

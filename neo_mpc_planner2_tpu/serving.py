@@ -206,6 +206,10 @@ class OptimizerSession:
             self._weights = Weights.from_config(self.cfg)
             self._limits = Limits.from_config(self.cfg)
             return {"ok": True, "pipelined": self.pipelined, "retraced": False}
+        # A shape-changing reconfigure invalidates any pipelined pending
+        # result (its packed layout follows the OLD control_steps).
+        self._pending = None
+        self._fleet_pending = None
         self._rebuild()
         return {"ok": True, "pipelined": self.pipelined, "retraced": True}
 

@@ -129,3 +129,33 @@ def test_orbax_checkpoint_roundtrip(cfg, tmp_path):
     np.testing.assert_array_equal(np.asarray(back.initial_guess),
                                   np.asarray(st.initial_guess))
     assert bool(back.slow_down) == bool(st.slow_down)
+
+
+def test_fleet_config_preset():
+    """fleet_config: the measured fast operating point — differs from the
+    bit-parity default only in the documented solver knobs, and drives a
+    closed loop to the same place."""
+    import dataclasses
+
+    import jax
+
+    from neo_mpc_planner2_tpu.scenarios import make_scenario_batch
+    from neo_mpc_planner2_tpu.simulation import batch_simulate
+
+    fast = mpc.fleet_config()
+    base = mpc.default_config()
+    diffs = {f.name for f in dataclasses.fields(mpc.MpcConfig)
+             if getattr(fast, f.name) != getattr(base, f.name)}
+    assert diffs == {"solver_max_iters", "solver_max_backtracks",
+                     "solver_ls_coarse_after", "solver_ls_coarse_factor",
+                     "solver_costmap_u8"}
+    cfg = fast.replace(opt_tolerance=1e-3, footprint_edge_samples=8,
+                       max_plan_points=32)
+    sb = make_scenario_batch(cfg, 8, seed=3, map_size=32, plan_points=24,
+                             plan_length_range=(0.5, 0.8))
+    run = jax.jit(lambda b: batch_simulate(cfg, b, 30))(sb)
+    gd = np.asarray(run.goal_dist)
+    # Fleet-level progress over a 1 s run (individual lanes may wander at
+    # this short horizon with the default 0.5 m lookahead).
+    assert gd[:, -1].mean() < gd[:, 0].mean()
+    assert (gd[:, -1] < gd[:, 0]).mean() >= 0.7

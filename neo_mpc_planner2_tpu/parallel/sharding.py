@@ -117,10 +117,18 @@ class ShardedEngine:
     """
 
     def __init__(self, cfg: MpcConfig, mesh: Mesh | None = None,
-                 parity: bool = True, donate_state: bool = True):
+                 parity: bool = True, donate_state: bool = True,
+                 window_cells: int | None = None):
+        """window_cells: nav2 rolling-local-costmap fleets — `costmaps` then
+        carry each lane's WORLD map (pass them pre-flattened via
+        Costmap.with_flat for the once-per-mission relayout) and each step
+        re-centers a zero-copy (window_cells,)² view on its lane's robot
+        (simulation.rolling_view). Per-lane metadata only — no cross-shard
+        communication is introduced."""
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh()
         self.parity = parity
+        self.window_cells = window_cells
 
         # shard_map (not GSPMD annotations): each device runs the batched
         # step on its LOCAL shard, so the solver's lockstep-tail compaction
@@ -136,6 +144,11 @@ class ShardedEngine:
         step_local = make_batched_controller_step(cfg, parity)
 
         def batch(state, plans, poses, vels, cms, fps, dts):
+            if window_cells is not None:
+                from ..simulation import rolling_view
+
+                cms = jax.vmap(rolling_view, in_axes=(0, 0, None))(
+                    cms, poses, window_cells)
             out = step_local(state, plans, poses, vels, cms, fps, dts)
             return out, _metrics_from(out, axes=("host", "chip"))
 

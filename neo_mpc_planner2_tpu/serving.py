@@ -259,6 +259,46 @@ class OptimizerSession:
     def op_ping(self, msg: dict) -> dict:
         return {"ok": True, "backend": jax.default_backend()}
 
+    def op_save_state(self, msg: dict) -> dict:
+        """Persist the warm-start/latch/timer state (checkpoint.py) — the
+        state the reference loses on every server restart (SURVEY.md §5).
+        {"op": "save_state", "path": p[, "fleet": true]}; .npz file path or
+        orbax directory."""
+        from .checkpoint import save_state
+
+        if msg.get("fleet"):
+            if self._fleet_state is None:
+                return {"error": "no fleet state to save"}
+            save_state(msg["path"], self._fleet_state)
+            return {"ok": True, "fleet": True,
+                    "lanes": int(self._fleet_state.initial_guess.shape[0]),
+                    "robots": self._fleet_n}
+        save_state(msg["path"], self.state)
+        return {"ok": True, "fleet": False}
+
+    def op_load_state(self, msg: dict) -> dict:
+        """Restore a save_state checkpoint. Fleet restores adopt the stored
+        pad and robot count ({"robots": n} overrides the latter); shapes must
+        match the current control_steps."""
+        from .checkpoint import load_state
+
+        if msg.get("fleet"):
+            st = load_state(msg["path"], template=self._fleet_state)
+            if int(st.initial_guess.shape[-1]) != 3 * self.cfg.control_steps:
+                return {"error": "checkpoint control_steps mismatch"}
+            self._fleet_state = st
+            pad = int(st.initial_guess.shape[0])
+            self._fleet_n = min(int(msg.get("robots", pad)), pad)
+            self._fleet_pending = None
+            return {"ok": True, "fleet": True, "lanes": pad,
+                    "robots": self._fleet_n}
+        st = load_state(msg["path"], template=self.state)
+        if int(st.initial_guess.shape[-1]) != 3 * self.cfg.control_steps:
+            return {"error": "checkpoint control_steps mismatch"}
+        self.state = st
+        self._pending = None
+        return {"ok": True, "fleet": False}
+
     def _pack_req(self, msg: dict, delta_t: float) -> np.ndarray:
         req = np.zeros(self._REQ_W, np.float32)
         req[0:3] = np.asarray(msg["current_pose"], np.float32)

@@ -76,7 +76,8 @@ def main() -> None:
         lookahead_dist_close_to_goal=0.4,
     )
     sb = make_scenario_batch(cfg, args.batch, seed=0,
-                             map_size=args.map_size, plan_points=64)
+                             map_size=args.map_size, plan_points=64,
+                             maps_on_device=True)
     sim = jax.jit(lambda b, t: batch_simulate(cfg, b, t), static_argnums=1)
     run = sim(sb, args.ticks)
     sync(run.cmds)  # compile + warm

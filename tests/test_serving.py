@@ -330,3 +330,56 @@ class TestFleetBatch:
         assert len(r["results"]) == 2
         assert all(len(x["output_vel"]) == 3 for x in r["results"])
         c.close()
+
+
+def test_serving_state_checkpoint_roundtrip(cfg, tmp_path):
+    """save_state/load_state ops: a restarted server resumes the exact
+    warm-start/latch/timer state (the reference loses it on restart)."""
+    def staged():
+        s = OptimizerSession(cfg)
+        s.handle({"op": "set_costmap", "data": np.zeros((40, 40)).tolist(),
+                  "origin": [-1, -1], "resolution": 0.05})
+        s.handle({"op": "set_footprint",
+                  "points": [[0.3, 0.2], [-0.3, 0.2], [-0.3, -0.2],
+                             [0.3, -0.2]]})
+        return s
+
+    req = {"op": "optimizer", "current_pose": [0, 0, 0],
+           "carrot_pose": [0.4, 0.1, 0.2], "goal_pose": [1.0, 0.5, 0.3],
+           "current_vel": [0.3, 0, 0], "control_interval": 0.033,
+           "delta_t": 0.033}
+    s1 = staged()
+    s1.handle(req)
+    s1.handle(req)
+    path = str(tmp_path / "state.npz")
+    assert s1.handle({"op": "save_state", "path": path})["ok"]
+    ref = s1.handle(req)
+
+    s2 = staged()
+    assert s2.handle({"op": "load_state", "path": path})["ok"]
+    got = s2.handle(req)
+    np.testing.assert_allclose(got["output_vel"], ref["output_vel"],
+                               atol=1e-6)
+
+    # Fleet lanes roundtrip too.
+    s3 = staged()
+    robots = [{"current_pose": [0.05 * i, 0, 0],
+               "carrot_pose": [0.4, 0.1, 0.2], "goal_pose": [1.0, 0.5, 0.3],
+               "current_vel": [0.3, 0, 0], "control_interval": 0.033}
+              for i in range(3)]
+    s3.handle({"op": "optimizer_batch", "robots": robots, "delta_t": 0.033})
+    fpath = str(tmp_path / "fleet.npz")
+    r = s3.handle({"op": "save_state", "path": fpath, "fleet": True})
+    assert r["ok"] and r["robots"] == 3
+    ref_f = s3.handle({"op": "optimizer_batch", "robots": robots,
+                       "delta_t": 0.033})
+
+    s4 = staged()
+    r = s4.handle({"op": "load_state", "path": fpath, "fleet": True,
+                   "robots": 3})
+    assert r["ok"] and r["robots"] == 3
+    got_f = s4.handle({"op": "optimizer_batch", "robots": robots,
+                       "delta_t": 0.033})
+    for a, b in zip(got_f["results"], ref_f["results"]):
+        np.testing.assert_allclose(a["output_vel"], b["output_vel"],
+                                   atol=1e-6)

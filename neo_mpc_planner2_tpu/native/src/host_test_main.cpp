@@ -76,6 +76,11 @@ int main() {
   CHECK(std::fabs(req.control_interval - 1.0 / 30.0) < 1e-12);
   CHECK(req.vel[0] == 0.3);
   CHECK(req.goal_pose.x == 2.0);
+  // Transformed-plan window (received_global_plan, cpp:102-128): starts at
+  // the closest pose (index 0 here) and ends at the first pose beyond half
+  // the 4 m costmap extent (2 m) — the whole 2 m plan fits.
+  CHECK(req.window_begin == 0);
+  CHECK(req.window_end == 50);
 
   // Near the goal: closer_to_goal flips.
   pose = {1.9, 0.0, 0.0};

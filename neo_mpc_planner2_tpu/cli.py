@@ -63,12 +63,16 @@ def server_main(argv=None) -> None:
     ap.add_argument("--pipelined", action="store_true",
                     help="advanced-step mode: reply with the previous tick's "
                          "command while the new solve runs on device")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="enable the save_state/load_state ops, confined to "
+                         "this directory (disabled when unset)")
     args = ap.parse_args(argv)
 
     cfg = (config_from_ros_params(_load_params_file(args.params_file))
            if args.params_file else default_config())
     print(f"[neo-mpc-server] listening on {args.host}:{args.port}", file=sys.stderr)
-    serve(args.host, args.port, cfg, pipelined=args.pipelined)
+    serve(args.host, args.port, cfg, pipelined=args.pipelined,
+          checkpoint_dir=args.checkpoint_dir)
 
 
 def bench_main(argv=None) -> None:

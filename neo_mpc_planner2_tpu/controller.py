@@ -188,6 +188,9 @@ class NeoMpcController:
                         not np.array_equal(np.asarray(self._plan.goal()),
                                            new_goal))
         self._plan = plan
+        # The last tick's window indices refer to the OLD plan — slicing the
+        # new one with them would publish garbage (round-3 review finding).
+        self._last_window = None
         # New plan: reset the consumed-prefix index (the reference keeps a
         # fresh copy of the plan, cpp:276).
         self._state = self._state.replace(
@@ -253,8 +256,11 @@ class NeoMpcController:
         )
         self._state = out.state
         self.last_result = out
-        self._last_window = (int(out.plan_window_begin),
-                             int(out.plan_window_end))
+        # Device arrays, NOT fetched here: int() would add two scalar
+        # device->host round trips to every tick (a full link RTT each on
+        # tunneled backends) for debug-only data; transformed_plan()
+        # converts lazily.
+        self._last_window = (out.plan_window_begin, out.plan_window_end)
         if bool(out.plan_empty):
             raise ControllerException("Resulting plan has 0 poses in it.")  # cpp:131
         if bool(out.lethal):
@@ -303,7 +309,7 @@ class NeoMpcController:
         if (self._last_window is None or self._last_pose is None
                 or self._plan is None):
             return np.zeros((0, 3))
-        b, e = self._last_window
+        b, e = (int(self._last_window[0]), int(self._last_window[1]))
         poses = np.asarray(self._plan.poses)[b:e]
         r = self._last_pose
         c, s = np.cos(r[2]), np.sin(r[2])

@@ -83,8 +83,14 @@ class OptimizerSession:
     """Transport-independent request handler (also used directly in tests and
     by the C++ host front-end through the in-process path)."""
 
-    def __init__(self, cfg: Optional[MpcConfig] = None, pipelined: bool = False):
+    def __init__(self, cfg: Optional[MpcConfig] = None, pipelined: bool = False,
+                 checkpoint_dir: Optional[str] = None):
         self.cfg = cfg or default_config()
+        # save_state/load_state ops resolve request paths INSIDE this
+        # directory only; None disables them (the request path arrives over
+        # an unauthenticated socket — it must never be an arbitrary-path
+        # file write/read primitive on the server host).
+        self.checkpoint_dir = checkpoint_dir
         self.costmap: Optional[Costmap] = None
         self.footprint: Optional[Footprint] = None
         self.state = None
@@ -194,7 +200,14 @@ class OptimizerSession:
         params = msg.get("params", {})
         self.cfg = config_from_ros_params(params, base=self.cfg)
         if "pipelined" in msg:
+            was = self.pipelined
             self.pipelined = bool(msg["pipelined"])
+            if was != self.pipelined:
+                # Mode toggle invalidates any in-flight result: re-enabling
+                # pipelined mode must not serve a stale pre-toggle command
+                # as "the previous tick" (round-3 review finding).
+                self._pending = None
+                self._fleet_pending = None
         changed = {f.name for f in dataclasses.fields(MpcConfig)
                    if f.name != "compat"
                    and getattr(self.cfg, f.name) != getattr(old_cfg, f.name)}
@@ -259,40 +272,59 @@ class OptimizerSession:
     def op_ping(self, msg: dict) -> dict:
         return {"ok": True, "backend": jax.default_backend()}
 
+    def _checkpoint_path(self, msg: dict) -> str:
+        """Resolve a request's checkpoint name inside checkpoint_dir. The
+        request path is untrusted network input: relative, no '..', and ops
+        are disabled entirely unless the server was configured with a
+        directory (round-3 review: an unrestricted path is an arbitrary
+        file write/read primitive over an unauthenticated socket)."""
+        if self.checkpoint_dir is None:
+            raise ValueError(
+                "checkpoint ops disabled: configure the session/server "
+                "with a checkpoint_dir")
+        import os
+
+        name = str(msg["path"])
+        if os.path.isabs(name) or ".." in name.replace("\\", "/").split("/"):
+            raise ValueError("checkpoint path must be relative without '..'")
+        return os.path.join(self.checkpoint_dir, name)
+
     def op_save_state(self, msg: dict) -> dict:
         """Persist the warm-start/latch/timer state (checkpoint.py) — the
         state the reference loses on every server restart (SURVEY.md §5).
-        {"op": "save_state", "path": p[, "fleet": true]}; .npz file path or
-        orbax directory."""
+        {"op": "save_state", "path": p[, "fleet": true]}; p is a name under
+        the server's checkpoint_dir (.npz file or orbax directory)."""
         from .checkpoint import save_state
 
+        path = self._checkpoint_path(msg)
         if msg.get("fleet"):
             if self._fleet_state is None:
                 return {"error": "no fleet state to save"}
-            save_state(msg["path"], self._fleet_state)
+            save_state(path, self._fleet_state)
             return {"ok": True, "fleet": True,
                     "lanes": int(self._fleet_state.initial_guess.shape[0]),
                     "robots": self._fleet_n}
-        save_state(msg["path"], self.state)
+        save_state(path, self.state)
         return {"ok": True, "fleet": False}
 
     def op_load_state(self, msg: dict) -> dict:
         """Restore a save_state checkpoint. Fleet restores adopt the stored
-        pad and robot count ({"robots": n} overrides the latter); shapes must
-        match the current control_steps."""
+        pad and robot count ({"robots": n} overrides the latter, clamped to
+        [0, pad]); shapes must match the current control_steps."""
         from .checkpoint import load_state
 
+        path = self._checkpoint_path(msg)
         if msg.get("fleet"):
-            st = load_state(msg["path"], template=self._fleet_state)
+            st = load_state(path, template=self._fleet_state)
             if int(st.initial_guess.shape[-1]) != 3 * self.cfg.control_steps:
                 return {"error": "checkpoint control_steps mismatch"}
             self._fleet_state = st
             pad = int(st.initial_guess.shape[0])
-            self._fleet_n = min(int(msg.get("robots", pad)), pad)
+            self._fleet_n = max(0, min(int(msg.get("robots", pad)), pad))
             self._fleet_pending = None
             return {"ok": True, "fleet": True, "lanes": pad,
                     "robots": self._fleet_n}
-        st = load_state(msg["path"], template=self.state)
+        st = load_state(path, template=self.state)
         if int(st.initial_guess.shape[-1]) != 3 * self.cfg.control_steps:
             return {"error": "checkpoint control_steps mismatch"}
         self.state = st
@@ -462,10 +494,13 @@ class OptimizerSession:
 
 def serve(host: str = "127.0.0.1", port: int = 7180,
           cfg: Optional[MpcConfig] = None, ready_event=None,
-          pipelined: bool = False) -> None:
+          pipelined: bool = False,
+          checkpoint_dir: Optional[str] = None) -> None:
     """Blocking single-threaded server loop (ros2 run … mpc_optimization_server
-    equivalent, README.md:92)."""
-    session = OptimizerSession(cfg, pipelined=pipelined)
+    equivalent, README.md:92). checkpoint_dir enables the save_state/
+    load_state ops, confined to that directory."""
+    session = OptimizerSession(cfg, pipelined=pipelined,
+                               checkpoint_dir=checkpoint_dir)
 
     class Handler(socketserver.StreamRequestHandler):
         def handle(self) -> None:

@@ -41,9 +41,20 @@ GOLDEN = pathlib.Path(__file__).resolve().parent.parent / "tests" / "golden"
 #  - adaptive_compact: the batch-level adaptive lockstep compaction path.
 VARIANTS = {
     "mpo700_closed_loop": (dict(), dict()),
+    # Observability note (round-3 review): in parity mode the footprint TERM
+    # is a per-solve constant (CompatConfig.footprint_alias_noop), so
+    # commands can NEVER observe w_footprint — what the golden must guard is
+    # the footprint-cost EVALUATION feeding the ==1.0 collision gate. The
+    # wide pose jitter + lethal blobs put several lanes' footprints ON
+    # lethal cells, so gate regressions change recorded commands (verified:
+    # this golden differs from the baseline).
     "footprint_live": (dict(w_footprint=2000.0),
-                       dict(lethal_threshold=0.9)),
-    "u8_source": (dict(solver_costmap_u8=True), dict()),
+                       dict(lethal_threshold=0.85, pose_jitter=0.45)),
+    # w_costmap amplified so the u8 quantization of the off-grid blob values
+    # perturbs accepted line-search steps — silently disabling the u8 source
+    # then changes recorded commands (verified: differs from the same config
+    # with u8 off).
+    "u8_source": (dict(solver_costmap_u8=True, w_costmap=5.0), dict()),
     "two_phase_ls": (dict(solver_max_iters=8, solver_max_backtracks=7,
                           solver_ls_coarse_after=2,
                           solver_ls_coarse_factor=0.0625), dict()),
@@ -76,7 +87,8 @@ def run_suite(n_ticks: int = 30, batch: int = 8, variant: str = "mpo700_closed_l
     window_cells = run_over.get("window_cells")
     sb = make_scenario_batch(
         cfg, batch, seed=2026, map_size=map_size, plan_points=32,
-        lethal_threshold=run_over.get("lethal_threshold"))
+        lethal_threshold=run_over.get("lethal_threshold"),
+        pose_jitter=run_over.get("pose_jitter", 0.05))
     res = jax.jit(lambda: batch_simulate(cfg, sb, n_ticks,
                                          window_cells=window_cells))()
     return np.asarray(res.cmds), np.asarray(res.goal_dist)

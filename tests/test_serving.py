@@ -107,6 +107,26 @@ class TestPipelinedMode:
         np.testing.assert_allclose(r2["output_vel"], r_direct["output_vel"],
                                    atol=1e-6)
 
+    def test_pipelined_toggle_clears_pending(self, cfg):
+        """Toggling pipelined off then on must NOT serve a pre-toggle
+        command as 'the previous tick' (round-3 review finding)."""
+        s = OptimizerSession(cfg, pipelined=True)
+        s.handle({"op": "set_costmap", "data": np.zeros((40, 40)).tolist(),
+                  "origin": [-1, -1], "resolution": 0.05})
+        s.handle({"op": "set_footprint",
+                  "points": [[0.3, 0.2], [-0.3, 0.2], [-0.3, -0.2],
+                             [0.3, -0.2]]})
+        s.handle(_opt_req())
+        s.handle(_opt_req())          # pending now holds tick-2's result
+        s.handle({"op": "configure", "pipelined": False})
+        for _ in range(3):
+            s.handle(_opt_req(goal_pose=[0.2, -0.5, 0.0]))
+        s.handle({"op": "configure", "pipelined": True})
+        r = s.handle(_opt_req(goal_pose=[0.2, -0.5, 0.0]))
+        # First pipelined tick after the toggle is a warmup, not tick-2's
+        # stale command toward the old goal.
+        assert r.get("pipelined_warmup")
+
     def test_reset_clears_pending(self, cfg):
         s = OptimizerSession(cfg, pipelined=True)
         s.handle({"op": "set_costmap", "data": np.zeros((40, 40)).tolist(),
@@ -334,15 +354,24 @@ class TestFleetBatch:
 
 def test_serving_state_checkpoint_roundtrip(cfg, tmp_path):
     """save_state/load_state ops: a restarted server resumes the exact
-    warm-start/latch/timer state (the reference loses it on restart)."""
-    def staged():
-        s = OptimizerSession(cfg)
+    warm-start/latch/timer state (the reference loses it on restart).
+    Paths are confined to the configured checkpoint_dir — request paths are
+    untrusted network input."""
+    def staged(ckpt_dir=str(tmp_path)):
+        s = OptimizerSession(cfg, checkpoint_dir=ckpt_dir)
         s.handle({"op": "set_costmap", "data": np.zeros((40, 40)).tolist(),
                   "origin": [-1, -1], "resolution": 0.05})
         s.handle({"op": "set_footprint",
                   "points": [[0.3, 0.2], [-0.3, 0.2], [-0.3, -0.2],
                              [0.3, -0.2]]})
         return s
+
+    # Disabled without a checkpoint_dir; absolute and traversal paths refused.
+    s0 = staged(ckpt_dir=None)
+    assert "error" in s0.handle({"op": "save_state", "path": "x.npz"})
+    s0b = staged()
+    assert "error" in s0b.handle({"op": "save_state", "path": "/etc/x.npz"})
+    assert "error" in s0b.handle({"op": "save_state", "path": "../x.npz"})
 
     req = {"op": "optimizer", "current_pose": [0, 0, 0],
            "carrot_pose": [0.4, 0.1, 0.2], "goal_pose": [1.0, 0.5, 0.3],
@@ -351,7 +380,7 @@ def test_serving_state_checkpoint_roundtrip(cfg, tmp_path):
     s1 = staged()
     s1.handle(req)
     s1.handle(req)
-    path = str(tmp_path / "state.npz")
+    path = "state.npz"
     assert s1.handle({"op": "save_state", "path": path})["ok"]
     ref = s1.handle(req)
 
@@ -368,7 +397,7 @@ def test_serving_state_checkpoint_roundtrip(cfg, tmp_path):
                "current_vel": [0.3, 0, 0], "control_interval": 0.033}
               for i in range(3)]
     s3.handle({"op": "optimizer_batch", "robots": robots, "delta_t": 0.033})
-    fpath = str(tmp_path / "fleet.npz")
+    fpath = "fleet.npz"
     r = s3.handle({"op": "save_state", "path": fpath, "fleet": True})
     assert r["ok"] and r["robots"] == 3
     ref_f = s3.handle({"op": "optimizer_batch", "robots": robots,

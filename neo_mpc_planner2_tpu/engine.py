@@ -107,6 +107,7 @@ def _post_solve(
     res,
     last_control: jnp.ndarray,
     waiting_time: jnp.ndarray,
+    fp_cost: "jnp.ndarray | None" = None,
 ) -> StepResult:
     """Everything after the solve (py:365-403): visualization, low-pass,
     collision/stuck logic, acceleration clamp, state persistence."""
@@ -132,9 +133,15 @@ def _post_solve(
     collision = state.collision | detected
     # Goal reset does NOT clear the collision latch in the reference; keep as-is.
 
-    fp_world = transform_footprint(scen.current_pose, scen.footprint)
-    fp_cost = footprint_cost(scen.costmap, fp_world, cfg.footprint_edge_samples,
-                             cfg.footprint_mode)
+    # Current-pose footprint cost: identical to the pursuit gate's
+    # footprint_cost_at_pose (same pose/footprint/map/sampling), so the full
+    # tick passes that value in rather than evaluating the polygon twice per
+    # tick; the standalone server path (no pursuit) computes it here.
+    if fp_cost is None:
+        fp_world = transform_footprint(scen.current_pose, scen.footprint)
+        fp_cost = footprint_cost(scen.costmap, fp_world,
+                                 cfg.footprint_edge_samples,
+                                 cfg.footprint_mode)
     collision_footprint = fp_cost == 1.0
 
     # --- stuck-wait vs acceleration clamp (py:374-391) ---
@@ -202,11 +209,14 @@ def solve_step(
     *,
     parity: bool = True,
     solver=None,
+    fp_cost=None,
 ) -> StepResult:
     """The optimization-server half of the tick (py:349-403), pure.
 
     delta_t: wall-clock seconds since the previous tick — the reference derives
     it from time.time() (py:369-371); under jit it is an explicit input.
+    fp_cost: optional precomputed current-pose footprint cost (the pursuit
+    gate already evaluates the identical polygon; see _post_solve).
     """
     guess, last_control, waiting_time = _pre_solve(cfg, state, scen)
 
@@ -219,7 +229,7 @@ def solve_step(
         solver = make_sqp_solver(cfg, make_objective(cfg, parity=parity))
     res = solver(guess, scen)
     return _post_solve(cfg, state, scen, delta_t, res, last_control,
-                       waiting_time)
+                       waiting_time, fp_cost=fp_cost)
 
 
 def controller_step(
@@ -248,7 +258,8 @@ def controller_step(
     """
     pr, scen, state = _tick_pre(cfg, state, plan, robot_pose, current_vel,
                                 costmap, base_footprint, limits)
-    out = solve_step(cfg, state, scen, delta_t, parity=parity, solver=solver)
+    out = solve_step(cfg, state, scen, delta_t, parity=parity, solver=solver,
+                     fp_cost=pr.footprint_cost)
     return _tick_post(pr, state, out)
 
 
@@ -340,7 +351,8 @@ def make_batched_controller_step(cfg: MpcConfig, parity: bool = True,
         res = solver_batch(guess, scen)
 
         def post(pr, scen, st2, dt, res, lc, wt):
-            out = _post_solve(cfg, st2, scen, dt, res, lc, wt)
+            out = _post_solve(cfg, st2, scen, dt, res, lc, wt,
+                              fp_cost=pr.footprint_cost)
             return _tick_post(pr, st2, out)
 
         return jax.vmap(post)(pr, scen, st2, delta_t, res, lc, wt)

@@ -496,11 +496,21 @@ def serve(host: str = "127.0.0.1", port: int = 7180,
           cfg: Optional[MpcConfig] = None, ready_event=None,
           pipelined: bool = False,
           checkpoint_dir: Optional[str] = None) -> None:
-    """Blocking single-threaded server loop (ros2 run … mpc_optimization_server
-    equivalent, README.md:92). checkpoint_dir enables the save_state/
-    load_state ops, confined to that directory."""
+    """Blocking server loop (ros2 run … mpc_optimization_server equivalent,
+    README.md:92). checkpoint_dir enables the save_state/load_state ops,
+    confined to that directory.
+
+    Connections are threaded but REQUESTS serialize on one lock — the same
+    discipline as the reference's single-threaded rclpy executor (py:441-444)
+    with any number of service clients: N robot processes can stay connected
+    simultaneously (a plain TCPServer would park client 2 until client 1
+    disconnected), while the session state and the single-tenant device see
+    strictly ordered requests."""
+    import threading
+
     session = OptimizerSession(cfg, pipelined=pipelined,
                                checkpoint_dir=checkpoint_dir)
+    lock = threading.Lock()
 
     class Handler(socketserver.StreamRequestHandler):
         def handle(self) -> None:
@@ -513,12 +523,14 @@ def serve(host: str = "127.0.0.1", port: int = 7180,
                 except json.JSONDecodeError as e:
                     resp = {"error": f"bad json: {e}"}
                 else:
-                    resp = session.handle(msg)
+                    with lock:
+                        resp = session.handle(msg)
                 self.wfile.write(json.dumps(resp).encode() + b"\n")
                 self.wfile.flush()
 
-    class Server(socketserver.TCPServer):
+    class Server(socketserver.ThreadingMixIn, socketserver.TCPServer):
         allow_reuse_address = True  # must be set before bind
+        daemon_threads = True
 
     with Server((host, port), Handler) as srv:
         if ready_event is not None:

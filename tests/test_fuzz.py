@@ -71,3 +71,46 @@ def test_engine_fuzz(seed):
                                       cfg.max_vel_theta) + 1e-4
         vel = out.cmd_vel
         pose = mpc.rollout(out.cmd_vel[None, :], jnp.float32(0.033), pose)[0]
+
+
+@pytest.mark.parametrize("seed", [10, 11])
+def test_rolling_view_fuzz(seed):
+    """Randomized world/window geometry: the zero-copy rolling view must
+    sample bit-identically to the materialized slice at arbitrary points —
+    in-window, in the out-of-window band, below the origin, off the world —
+    for every sampler the engine uses."""
+    from neo_mpc_planner2_tpu.ops.costmap import (cost_at_world,
+                                                  cost_at_world_bilinear,
+                                                  cost_at_world_onehot)
+    from neo_mpc_planner2_tpu.ops.footprint import line_cost_exact
+    from neo_mpc_planner2_tpu.simulation import rolling_view, rolling_window
+
+    rng = np.random.default_rng(seed)
+    for _ in range(6):
+        H = int(rng.integers(20, 90))
+        W = int(rng.integers(20, 90))
+        res = float(rng.choice([0.025, 0.05, 0.1]))
+        origin = rng.uniform(-4, 2, 2)
+        cells = int(rng.integers(8, min(H, W) + 1))
+        world = mpc.Costmap.create(rng.random((H, W)),
+                                   origin=tuple(origin),
+                                   resolution=res).with_flat()
+        span_x = (origin[0] - 2.0, origin[0] + W * res + 2.0)
+        span_y = (origin[1] - 2.0, origin[1] + H * res + 2.0)
+        pose = jnp.asarray([rng.uniform(*span_x), rng.uniform(*span_y), 0.0],
+                           jnp.float32)
+        win = rolling_window(world, pose, cells)
+        view = rolling_view(world, pose, cells)
+        wx = jnp.asarray(rng.uniform(*span_x, 128), jnp.float32)
+        wy = jnp.asarray(rng.uniform(*span_y, 128), jnp.float32)
+        for fn in (cost_at_world, cost_at_world_onehot,
+                   cost_at_world_bilinear):
+            np.testing.assert_array_equal(
+                np.asarray(fn(view, wx, wy)), np.asarray(fn(win, wx, wy)),
+                err_msg=f"{fn.__name__} H={H} W={W} cells={cells}")
+        np.testing.assert_array_equal(
+            np.asarray(line_cost_exact(view, wx[:16], wy[:16],
+                                       wx[16:32], wy[16:32])),
+            np.asarray(line_cost_exact(win, wx[:16], wy[:16],
+                                       wx[16:32], wy[16:32])),
+            err_msg=f"line_cost_exact H={H} W={W} cells={cells}")

@@ -412,3 +412,44 @@ def test_serving_state_checkpoint_roundtrip(cfg, tmp_path):
     for a, b in zip(got_f["results"], ref_f["results"]):
         np.testing.assert_allclose(a["output_vel"], b["output_vel"],
                                    atol=1e-6)
+
+
+def test_concurrent_clients(cfg):
+    """Multiple robot processes connect SIMULTANEOUSLY (the reference's ROS
+    service accepts any number of clients); requests serialize on the
+    session lock, and each client gets its own replies in order."""
+    ready = threading.Event()
+    t = threading.Thread(target=serve,
+                         args=("127.0.0.1", 7983, cfg, ready), daemon=True)
+    t.start()
+    assert ready.wait(10)
+    c1 = OptimizerClient(port=7983, wait_timeout=10)
+    c2 = OptimizerClient(port=7983, wait_timeout=10)  # connected concurrently
+    c1.call({"op": "set_costmap", "data": np.zeros((20, 20)).tolist(),
+             "origin": [-0.5, -0.5], "resolution": 0.05})
+    c1.call({"op": "set_footprint",
+             "points": [[0.1, 0.1], [-0.1, 0.1], [-0.1, -0.1], [0.1, -0.1]]})
+    # Client 2 issues requests while client 1 is still connected.
+    assert c2.call({"op": "ping"})["ok"]
+    r2 = c2.call(_opt_req())
+    assert "output_vel" in r2
+    r1 = c1.call(_opt_req())
+    assert "output_vel" in r1
+    errs = []
+
+    def hammer(c, n):
+        try:
+            for _ in range(n):
+                if "ok" not in c.call({"op": "ping"}):
+                    errs.append("bad ping")
+        except Exception as e:  # pragma: no cover
+            errs.append(repr(e))
+
+    th = [threading.Thread(target=hammer, args=(c, 25)) for c in (c1, c2)]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join(30)
+    assert not errs, errs
+    c1.close()
+    c2.close()

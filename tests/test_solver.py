@@ -258,14 +258,17 @@ def test_parallel_line_search_identical(cfg, empty_costmap, footprint):
     scen = mpc.Scenario.create([0, 0, 0], [0.4, 0.1, 0.2], [1.0, 0.5, 0.3],
                                [0.3, 0.1, 0.05], footprint, empty_costmap)
     rng = np.random.default_rng(4)
+    # jit once, reuse across starts (re-tracing per start dominated runtime).
+    solve_seq = jax.jit(mpc.make_sqp_solver(tight, mpc.make_objective(tight),
+                                            ftol=1e-8, max_iters=200,
+                                            parallel_ls=False))
+    solve_par = jax.jit(mpc.make_sqp_solver(tight, mpc.make_objective(tight),
+                                            ftol=1e-8, max_iters=200,
+                                            parallel_ls=True))
     for _ in range(5):
         x0 = jnp.asarray(rng.uniform(-0.5, 0.5, 9), jnp.float32)
-        seq = mpc.make_sqp_solver(tight, mpc.make_objective(tight),
-                                  ftol=1e-8, max_iters=200,
-                                  parallel_ls=False)(x0, scen)
-        par = mpc.make_sqp_solver(tight, mpc.make_objective(tight),
-                                  ftol=1e-8, max_iters=200,
-                                  parallel_ls=True)(x0, scen)
+        seq = solve_seq(x0, scen)
+        par = solve_par(x0, scen)
         np.testing.assert_array_equal(np.asarray(seq.x), np.asarray(par.x))
         assert int(seq.iters) == int(par.iters)
 
@@ -285,17 +288,20 @@ def test_two_phase_schedule_branches_identical(cfg, empty_costmap, footprint):
     scen = mpc.Scenario.create([0, 0, 0], [0.4, 0.1, 0.2], [1.0, 0.5, 0.3],
                                [0.3, 0.1, 0.05], footprint, empty_costmap)
     rng = np.random.default_rng(7)
+    solve_seq = jax.jit(mpc.make_sqp_solver(two, mpc.make_objective(two),
+                                            ftol=1e-8, max_iters=200,
+                                            parallel_ls=False))
+    solve_par = jax.jit(mpc.make_sqp_solver(two, mpc.make_objective(two),
+                                            ftol=1e-8, max_iters=200,
+                                            parallel_ls=True))
+    solve_wave = jax.jit(mpc.make_sqp_solver(
+        two.replace(solver_ls_wave=3), mpc.make_objective(two),
+        ftol=1e-8, max_iters=200, parallel_ls=False))
     for _ in range(3):
         x0 = jnp.asarray(rng.uniform(-0.5, 0.5, 9), jnp.float32)
-        seq = mpc.make_sqp_solver(two, mpc.make_objective(two),
-                                  ftol=1e-8, max_iters=200,
-                                  parallel_ls=False)(x0, scen)
-        par = mpc.make_sqp_solver(two, mpc.make_objective(two),
-                                  ftol=1e-8, max_iters=200,
-                                  parallel_ls=True)(x0, scen)
-        wave = mpc.make_sqp_solver(
-            two.replace(solver_ls_wave=3), mpc.make_objective(two),
-            ftol=1e-8, max_iters=200, parallel_ls=False)(x0, scen)
+        seq = solve_seq(x0, scen)
+        par = solve_par(x0, scen)
+        wave = solve_wave(x0, scen)
         np.testing.assert_allclose(np.asarray(seq.x), np.asarray(par.x),
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(np.asarray(seq.x), np.asarray(wave.x),
@@ -317,10 +323,12 @@ def test_two_phase_schedule_solution_quality(cfg, empty_costmap, footprint):
                                footprint, empty_costmap)
     f_obj = mpc.make_objective(base)
     rng = np.random.default_rng(11)
+    solve_a = jax.jit(mpc.make_sqp_solver(base, f_obj, max_iters=100))
+    solve_b = jax.jit(mpc.make_sqp_solver(two, f_obj, max_iters=100))
     for _ in range(5):
         x0 = jnp.asarray(rng.uniform(-0.5, 0.5, 9), jnp.float32)
-        a = mpc.make_sqp_solver(base, f_obj, max_iters=100)(x0, scen)
-        b = mpc.make_sqp_solver(two, f_obj, max_iters=100)(x0, scen)
+        a = solve_a(x0, scen)
+        b = solve_b(x0, scen)
         assert float(b.fun) <= float(a.fun) + 1e-4
 
 
@@ -334,18 +342,23 @@ def test_warm_alpha_schedule(cfg, empty_costmap, footprint):
                                footprint, empty_costmap)
     f_obj = mpc.make_objective(warm)
     rng = np.random.default_rng(17)
+    solve_seq = jax.jit(mpc.make_sqp_solver(warm, f_obj, max_iters=100,
+                                            parallel_ls=False))
+    solve_par = jax.jit(mpc.make_sqp_solver(warm, f_obj, max_iters=100,
+                                            parallel_ls=True))
+    solve_wave = jax.jit(mpc.make_sqp_solver(warm.replace(solver_ls_wave=2),
+                                             f_obj, max_iters=100,
+                                             parallel_ls=False))
+    solve_cold = jax.jit(mpc.make_sqp_solver(cfg.replace(opt_tolerance=1e-6),
+                                             f_obj, max_iters=100))
     for _ in range(3):
         x0 = jnp.asarray(rng.uniform(-0.5, 0.5, 9), jnp.float32)
-        seq = mpc.make_sqp_solver(warm, f_obj, max_iters=100,
-                                  parallel_ls=False)(x0, scen)
-        par = mpc.make_sqp_solver(warm, f_obj, max_iters=100,
-                                  parallel_ls=True)(x0, scen)
-        wave = mpc.make_sqp_solver(warm.replace(solver_ls_wave=2), f_obj,
-                                   max_iters=100, parallel_ls=False)(x0, scen)
+        seq = solve_seq(x0, scen)
+        par = solve_par(x0, scen)
+        wave = solve_wave(x0, scen)
         np.testing.assert_allclose(np.asarray(seq.x), np.asarray(par.x),
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(np.asarray(seq.x), np.asarray(wave.x),
                                    rtol=1e-5, atol=1e-6)
-        cold = mpc.make_sqp_solver(cfg.replace(opt_tolerance=1e-6), f_obj,
-                                   max_iters=100)(x0, scen)
+        cold = solve_cold(x0, scen)
         assert float(seq.fun) <= float(cold.fun) + 1e-4

@@ -13,8 +13,18 @@ transport is a newline-delimited JSON protocol over TCP (no ROS, no DDS):
      "switch_opt": false, "control_interval": 0.033}
     {"op": "optimizer_batch", "robots": [{<optimizer fields>}, ...],
      "control_interval": 0.033}   # fleet tick: one device batch per call
+    {"op": "set_plan", "poses": [[x, y, yaw], ...]}   # full-tick mode
+    {"op": "tick", "pose": [x,y,yaw], "vel": [vx,vy,wz]}
     {"op": "reset"}        # new-mission reset (the reference restarts the node)
     {"op": "ping"}
+
+`set_plan`/`tick` is the FULL-TICK mode the reference cannot offer: the
+server runs the entire fused controller tick (plan pruning + carrot
+selection + hysteresis + solve + safety post-processing — both reference
+processes) on device, so a thin client sends the plan once and then only
+6 floats per tick, no geometry code (and no C++ host) on the robot at all.
+The lethal/empty-window plugin gates come back as response flags instead
+of exceptions.
 
 `optimizer_batch` is the fleet-serving path the reference has no analogue for
 (it is strictly one robot per server process): N robots sharing the staged
@@ -116,6 +126,10 @@ class OptimizerSession:
         self._fleet_state = None
         self._fleet_pending = None
         self._fleet_n = 0
+        # Full-tick mode (op_set_plan/op_tick): server-side plan + fused
+        # controller tick; built lazily on the first set_plan.
+        self._plan = None
+        self._tick_fn = None
         self._rebuild()
 
     # Request vector layout (one host->device put per tick instead of seven —
@@ -174,6 +188,7 @@ class OptimizerSession:
                                         weights, limits))(state, reqs)
 
         self._fleet_step = jax.jit(fleet_step)
+        self._tick_fn = None  # full-tick executable follows cfg; rebuild lazily
         # Weights/limits always travel as traced pytrees so runtime parameter
         # updates (RUNTIME_PARAMS) hit the same compiled executable.
         self._weights = Weights.from_config(cfg)
@@ -218,6 +233,10 @@ class OptimizerSession:
             # actually take effect here).
             self._weights = Weights.from_config(self.cfg)
             self._limits = Limits.from_config(self.cfg)
+            # Full-tick mode reads weights statically from cfg (the fused
+            # pursuit tick builds its Scenario in-graph), so IT must rebuild
+            # even on the otherwise retrace-free path.
+            self._tick_fn = None
             return {"ok": True, "pipelined": self.pipelined, "retraced": False}
         # A shape-changing reconfigure invalidates any pipelined pending
         # result (its packed layout follows the OLD control_steps).
@@ -392,6 +411,98 @@ class OptimizerSession:
             packed = prev
 
         return self._resp_from_vec(np.asarray(packed))
+
+    # ---- full-tick mode (server-side pursuit + solve; no geometry on the
+    # robot client at all) ----
+    def op_set_plan(self, msg: dict) -> dict:
+        """Stage the global plan for op_tick (setPlan, cpp:274-281: the goal
+        change latches slow-down; the consumed prefix resets)."""
+        from .ops.pursuit import Plan
+
+        poses = np.asarray(msg["poses"], np.float32)
+        if poses.ndim != 2 or poses.shape[0] < 1 or poses.shape[1] != 3:
+            return {"error": "poses must be a non-empty (N, 3) list"}
+        if poses.shape[0] > self.cfg.max_plan_points:
+            return {"error": f"plan has {poses.shape[0]} poses > "
+                             f"max_plan_points={self.cfg.max_plan_points}"}
+        self._plan = Plan.create(poses, max_points=self.cfg.max_plan_points)
+        self.state = self.state.replace(
+            plan_start=jnp.int32(0), slow_down=jnp.asarray(True))
+        return {"ok": True, "n_poses": int(poses.shape[0])}
+
+    def _build_tick(self):
+        from .engine import make_batched_controller_step
+
+        cfg = self.cfg
+        step = make_batched_controller_step(cfg, parity=True)
+
+        def tickfn(state, plan, pose, vel, dt, costmap, footprint):
+            args = jax.tree.map(lambda a: a[None],
+                                (state, plan, pose, vel, costmap, footprint,
+                                 dt))
+            out = step(*args)
+            o = jax.tree.map(lambda x: x[0], out)
+            f32 = o.cmd_vel.dtype
+            flag = lambda x: x.astype(f32)[None]
+            packed = jnp.concatenate([
+                o.cmd_vel,                         # 0:3
+                flag(o.solver_converged),          # 3
+                flag(o.solver_iters),              # 4
+                flag(o.fun),                       # 5
+                flag(o.collision),                 # 6
+                flag(o.collision_footprint),       # 7
+                flag(o.lethal),                    # 8
+                flag(o.plan_empty),                # 9
+                o.carrot_pose,                     # 10:13
+                flag(o.plan_window_begin),         # 13
+                flag(o.plan_window_end),           # 14
+                o.local_plan.reshape(-1),          # 15:
+            ])
+            return packed, o.state
+
+        self._tick_fn = jax.jit(tickfn)
+
+    def op_tick(self, msg: dict) -> dict:
+        """One FULL controller tick on device: pursuit geometry + solve +
+        post-processing (the fused equivalent of both reference processes).
+        Client sends {"pose": [x,y,yaw], "vel": [vx,vy,wz]} per tick; plugin
+        gates come back as `lethal`/`plan_empty` flags (the in-process facade
+        raises ControllerException for them, controller.py)."""
+        if self.costmap is None:
+            return {"error": "no costmap set"}
+        if self.footprint is None:
+            return {"error": "no footprint set"}
+        if self._plan is None:
+            return {"error": "no plan set (op set_plan first)"}
+        if "delta_t" in msg:
+            delta_t = float(msg["delta_t"])
+        else:
+            now = time.time()
+            delta_t = now - self.last_time
+            self.last_time = now
+        if self._tick_fn is None:
+            self._build_tick()
+        packed, self.state = self._tick_fn(
+            self.state, self._plan,
+            jnp.asarray(np.asarray(msg["pose"], np.float32)),
+            jnp.asarray(np.asarray(msg["vel"], np.float32)),
+            jnp.float32(delta_t), self.costmap, self.footprint)
+        vec = np.asarray(packed)  # ONE fetch
+        n = self.cfg.control_steps
+        return {
+            "output_vel": vec[:3].tolist(),
+            "success": bool(vec[3] > 0.5),
+            "iterations": int(round(float(vec[4]))),
+            "cost": float(vec[5]),
+            "collision": bool(vec[6] > 0.5),
+            "collision_footprint": bool(vec[7] > 0.5),
+            "lethal": bool(vec[8] > 0.5),
+            "plan_empty": bool(vec[9] > 0.5),
+            "carrot_pose": vec[10:13].tolist(),
+            "plan_window": [int(round(float(vec[13]))),
+                            int(round(float(vec[14])))],
+            "local_plan": vec[15:15 + 3 * (n + 1)].reshape(n + 1, 3).tolist(),
+        }
 
     def _resize_fleet(self, pad: int) -> None:
         """Grow/shrink the persistent lane state to `pad` lanes: lanes that

@@ -453,3 +453,66 @@ def test_concurrent_clients(cfg):
     assert not errs, errs
     c1.close()
     c2.close()
+
+
+class TestFullTickMode:
+    """set_plan/tick ops: the server runs the whole fused controller tick
+    (pursuit + solve + post-processing); the thin client sends only
+    pose/vel per tick."""
+
+    def _staged(self, cfg):
+        s = OptimizerSession(cfg)
+        s.handle({"op": "set_costmap", "data": np.zeros((40, 40)).tolist(),
+                  "origin": [-1, -1], "resolution": 0.05})
+        s.handle({"op": "set_footprint",
+                  "points": [[0.3, 0.2], [-0.3, 0.2], [-0.3, -0.2],
+                             [0.3, -0.2]]})
+        return s
+
+    def test_requires_plan(self, cfg):
+        s = self._staged(cfg)
+        assert "error" in s.handle({"op": "tick", "pose": [0, 0, 0],
+                                    "vel": [0, 0, 0], "delta_t": 0.033})
+
+    def test_matches_controller_facade(self, cfg, empty_costmap, footprint):
+        """Full-tick serving == NeoMpcController (the same fused step)."""
+        from neo_mpc_planner2_tpu.controller import NeoMpcController
+        from neo_mpc_planner2_tpu.utils.se2_np import integrate_cmd_np
+
+        plan = np.stack([np.linspace(0, 2.0, 50), np.zeros(50),
+                         np.zeros(50)], 1)
+        s = self._staged(cfg)
+        assert s.handle({"op": "set_plan", "poses": plan.tolist()})["ok"]
+
+        c = NeoMpcController()
+        c.configure(cfg, costmap=empty_costmap, footprint=footprint)
+        c.activate()
+        c.set_plan(plan)
+
+        pose = np.zeros(3)
+        vel = np.zeros(3)
+        for _ in range(10):
+            r = s.handle({"op": "tick", "pose": pose.tolist(),
+                          "vel": vel.tolist(), "delta_t": 1 / 30})
+            cmd_ctrl = c.compute_velocity_commands(pose, vel, 1 / 30)
+            np.testing.assert_allclose(r["output_vel"], cmd_ctrl, atol=1e-5)
+            assert not r["lethal"] and not r["plan_empty"]
+            assert r["plan_window"][1] > r["plan_window"][0]
+            pose = integrate_cmd_np(pose, np.asarray(r["output_vel"]), 1 / 30)
+            vel = np.asarray(r["output_vel"])
+        assert pose[0] > 0.1  # made progress along the plan
+
+    def test_lethal_flag(self, cfg, footprint):
+        s = OptimizerSession(cfg)
+        s.handle({"op": "set_costmap", "data": np.ones((40, 40)).tolist(),
+                  "origin": [-1, -1], "resolution": 0.05})
+        s.handle({"op": "set_footprint",
+                  "points": [[0.3, 0.2], [-0.3, 0.2], [-0.3, -0.2],
+                             [0.3, -0.2]]})
+        plan = np.stack([np.linspace(0, 2.0, 50), np.zeros(50),
+                         np.zeros(50)], 1)
+        s.handle({"op": "set_plan", "poses": plan.tolist()})
+        r = s.handle({"op": "tick", "pose": [0, 0, 0], "vel": [0, 0, 0],
+                      "delta_t": 0.033})
+        assert r["lethal"]
+        np.testing.assert_allclose(r["output_vel"], [0, 0, 0])

@@ -12,6 +12,7 @@ obstacle's center advanced along its velocity (simulation.batch_simulate
 reference's server receives with every service call.
 
     JAX_PLATFORMS=cpu python examples/dynamic_obstacle_demo.py
+    # (hosts with a site-forced backend: env -u PYTHONPATH JAX_PLATFORMS=cpu …)
 """
 
 import numpy as np

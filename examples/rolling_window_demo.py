@@ -9,6 +9,7 @@ safety stop. This demo drives a 4.8 m plan through a 9.6 m world with a
 the window is bounds metadata on the world map, no per-tick copy.
 
     JAX_PLATFORMS=cpu python examples/rolling_window_demo.py
+    # (hosts with a site-forced backend: env -u PYTHONPATH JAX_PLATFORMS=cpu …)
 """
 
 import numpy as np

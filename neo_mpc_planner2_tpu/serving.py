@@ -41,11 +41,16 @@ lanes (positions < min(old_n, new_n)) and a zero-command `pipelined_warmup`
 entry only for the new lanes.
 
 Responses mirror the Optimizer.srv response: {"output_vel": [vx, vy, wz],
-...diagnostics}. Requests are served strictly in order on one thread — the
-same serialization discipline as the reference's single-threaded rclpy
-executor (py:441-444). Wall-clock delta_t for the stuck-wait timer is measured
-server-side like the reference (py:369-371) unless the request carries an
-explicit "delta_t".
+...diagnostics}. Requests serialize on one lock — the same ordering
+discipline as the reference's single-threaded rclpy executor (py:441-444) —
+while connections are threaded, so several robot processes can stay
+connected at once. Single-robot ops (optimizer/tick/set_plan/save_state/
+load_state) accept an optional "robot": "<id>" field selecting an isolated
+per-robot session slot (state, stuck clock, plan, pipelined pending);
+omitting it uses the default slot, so a single-robot deployment needs no
+ids. Wall-clock delta_t for the stuck-wait timer is measured server-side
+like the reference (py:369-371) unless the request carries an explicit
+"delta_t".
 
 The device state (warm start, last control, timers) stays resident between
 calls as a ControlState pytree; per tick, exactly ONE packed request vector
@@ -103,10 +108,19 @@ class OptimizerSession:
         self.checkpoint_dir = checkpoint_dir
         self.costmap: Optional[Costmap] = None
         self.footprint: Optional[Footprint] = None
-        self.state = None
-        self.last_time = 0.0  # py:138 — first delta_t is huge, like time.time()-0
-        # The batch path keeps its own timestamp: sharing last_time with the
-        # single-robot op would corrupt both stuck-timer deltas when a client
+        # Per-robot session slots: the single-robot ops (optimizer, tick,
+        # set_plan) accept an optional "robot" id so SEVERAL robot processes
+        # can share one threaded server without corrupting each other's
+        # warm start / collision latch / stuck clock (round-3 review — the
+        # plain single-session design was only safe while the old
+        # non-threading server structurally serialized whole connections).
+        # Omitting "robot" uses the default slot "" — the single-robot
+        # behavior of the reference. Each slot: ControlState, wall-clock
+        # stuck-timer baseline (py:138 — first delta_t is huge, like
+        # time.time()-0), full-tick plan, pipelined pending result.
+        self._slots: dict = {}
+        # The batch path keeps its own timestamp: sharing a slot clock with
+        # the fleet op would corrupt both stuck-timer deltas when a client
         # interleaves single and batch solves (ADVICE round-2).
         self._fleet_last_time = 0.0
         # Advanced-step mode (SURVEY.md §7.8 double-buffered pipeline): return
@@ -116,7 +130,6 @@ class OptimizerSession:
         # advanced-step MPC; the reference instead blocks the controller
         # thread for the whole solve (cpp:248-250).
         self.pipelined = pipelined
-        self._pending = None
         # Fleet-serving lane state: a batched ControlState whose leading dim is
         # the padded fleet size (see op_optimizer_batch), plus the pipelined-
         # mode pending result for the batch path. _fleet_n tracks how many
@@ -126,11 +139,56 @@ class OptimizerSession:
         self._fleet_state = None
         self._fleet_pending = None
         self._fleet_n = 0
-        # Full-tick mode (op_set_plan/op_tick): server-side plan + fused
-        # controller tick; built lazily on the first set_plan.
-        self._plan = None
+        # Full-tick executable (op_set_plan/op_tick); built lazily.
         self._tick_fn = None
         self._rebuild()
+
+    def _slot(self, msg: dict) -> dict:
+        rid = str(msg.get("robot", ""))
+        if rid not in self._slots:
+            self._slots[rid] = {"state": init_state(self.cfg),
+                                "last_time": 0.0, "plan": None,
+                                "pending": None}
+        return self._slots[rid]
+
+    # Default-slot views (tests / in-process callers address the single-robot
+    # state directly; the default slot IS the reference's one server state).
+    @property
+    def state(self):
+        return self._slot({})["state"]
+
+    @state.setter
+    def state(self, v) -> None:
+        self._slot({})["state"] = v
+
+    @property
+    def last_time(self) -> float:
+        return self._slot({})["last_time"]
+
+    @last_time.setter
+    def last_time(self, v: float) -> None:
+        self._slot({})["last_time"] = v
+
+    @property
+    def _pending(self):
+        return self._slot({})["pending"]
+
+    @_pending.setter
+    def _pending(self, v) -> None:
+        self._slot({})["pending"] = v
+
+    @property
+    def _plan(self):
+        return self._slot({})["plan"]
+
+    @_plan.setter
+    def _plan(self, v) -> None:
+        self._slot({})["plan"] = v
+
+    def _clear_pendings(self) -> None:
+        for slot in self._slots.values():
+            slot["pending"] = None
+        self._fleet_pending = None
 
     # Request vector layout (one host->device put per tick instead of seven —
     # through a network tunnel each separate transfer pays a full RTT):
@@ -197,9 +255,11 @@ class OptimizerSession:
         # reference's cb_params (py:405-439) updates weights in place without
         # touching initial_guess/last_control/timers. Only a control_steps
         # change (resizing the warm start) forces a reset.
-        if (self.state is None
-                or self.state.initial_guess.shape[0] != 3 * cfg.control_steps):
-            self.state = init_state(cfg)
+        for slot in self._slots.values():
+            if (slot["state"] is None or slot["state"].initial_guess.shape[0]
+                    != 3 * cfg.control_steps):
+                slot["state"] = init_state(cfg)
+                slot["pending"] = None
         if (self._fleet_state is not None
                 and self._fleet_state.initial_guess.shape[-1]
                 != 3 * cfg.control_steps):
@@ -221,8 +281,7 @@ class OptimizerSession:
                 # Mode toggle invalidates any in-flight result: re-enabling
                 # pipelined mode must not serve a stale pre-toggle command
                 # as "the previous tick" (round-3 review finding).
-                self._pending = None
-                self._fleet_pending = None
+                self._clear_pendings()
         changed = {f.name for f in dataclasses.fields(MpcConfig)
                    if f.name != "compat"
                    and getattr(self.cfg, f.name) != getattr(old_cfg, f.name)}
@@ -240,8 +299,7 @@ class OptimizerSession:
             return {"ok": True, "pipelined": self.pipelined, "retraced": False}
         # A shape-changing reconfigure invalidates any pipelined pending
         # result (its packed layout follows the OLD control_steps).
-        self._pending = None
-        self._fleet_pending = None
+        self._clear_pendings()
         self._rebuild()
         return {"ok": True, "pipelined": self.pipelined, "retraced": True}
 
@@ -279,9 +337,12 @@ class OptimizerSession:
             self._rebuild()
 
     def op_reset(self, msg: dict) -> dict:
-        self.state = init_state(self.cfg)
-        self.last_time = 0.0
-        self._pending = None
+        """New-mission reset: every robot slot (state, clock, PLAN, pending)
+        plus the fleet lanes — the equivalent of restarting the reference's
+        node. Clearing the plans matters: a tick after reset must error until
+        the new mission's set_plan arrives, not drive toward the old goal
+        (round-3 review finding)."""
+        self._slots = {}
         self._fleet_state = None
         self._fleet_pending = None
         self._fleet_n = 0
@@ -323,7 +384,8 @@ class OptimizerSession:
             return {"ok": True, "fleet": True,
                     "lanes": int(self._fleet_state.initial_guess.shape[0]),
                     "robots": self._fleet_n}
-        save_state(path, self.state)
+        slot = self._slot(msg)
+        save_state(path, slot["state"])
         return {"ok": True, "fleet": False}
 
     def op_load_state(self, msg: dict) -> dict:
@@ -343,11 +405,12 @@ class OptimizerSession:
             self._fleet_pending = None
             return {"ok": True, "fleet": True, "lanes": pad,
                     "robots": self._fleet_n}
-        st = load_state(path, template=self.state)
+        slot = self._slot(msg)
+        st = load_state(path, template=slot["state"])
         if int(st.initial_guess.shape[-1]) != 3 * self.cfg.control_steps:
             return {"error": "checkpoint control_steps mismatch"}
-        self.state = st
-        self._pending = None
+        slot["state"] = st
+        slot["pending"] = None
         return {"ok": True, "fleet": False}
 
     def _pack_req(self, msg: dict, delta_t: float) -> np.ndarray:
@@ -390,22 +453,23 @@ class OptimizerSession:
             # explicitly.
             return {"error": "no footprint set"}
 
+        slot = self._slot(msg)  # per-robot state/clock/pending
         if "delta_t" in msg:
             delta_t = float(msg["delta_t"])
         else:
             now = time.time()
-            delta_t = now - self.last_time
-            self.last_time = now
+            delta_t = now - slot["last_time"]
+            slot["last_time"] = now
 
         req = self._pack_req(msg, delta_t)  # one put, one fetch per tick
-        packed, self.state = self._step(
-            self.state, jnp.asarray(req), self.costmap, self.footprint,
+        packed, slot["state"] = self._step(
+            slot["state"], jnp.asarray(req), self.costmap, self.footprint,
             self._weights, self._limits)
 
         if self.pipelined:
             # Serve the previous tick's (already finished) result; the solve
             # dispatched above completes in the background on device.
-            prev, self._pending = self._pending, packed
+            prev, slot["pending"] = slot["pending"], packed
             if prev is None:
                 return self._warmup_resp()
             packed = prev
@@ -415,8 +479,11 @@ class OptimizerSession:
     # ---- full-tick mode (server-side pursuit + solve; no geometry on the
     # robot client at all) ----
     def op_set_plan(self, msg: dict) -> dict:
-        """Stage the global plan for op_tick (setPlan, cpp:274-281: the goal
-        change latches slow-down; the consumed prefix resets)."""
+        """Stage the global plan for op_tick (setPlan, cpp:274-281): the
+        consumed prefix resets; slow-down latches only on a GOAL CHANGE —
+        a nav stack re-publishing the unchanged plan every replanning cycle
+        must not knock the hysteresis back to the conservative lookahead
+        (matches NeoMpcController.set_plan; round-3 review finding)."""
         from .ops.pursuit import Plan
 
         poses = np.asarray(msg["poses"], np.float32)
@@ -425,9 +492,16 @@ class OptimizerSession:
         if poses.shape[0] > self.cfg.max_plan_points:
             return {"error": f"plan has {poses.shape[0]} poses > "
                              f"max_plan_points={self.cfg.max_plan_points}"}
-        self._plan = Plan.create(poses, max_points=self.cfg.max_plan_points)
-        self.state = self.state.replace(
-            plan_start=jnp.int32(0), slow_down=jnp.asarray(True))
+        slot = self._slot(msg)
+        new_plan = Plan.create(poses, max_points=self.cfg.max_plan_points)
+        old = slot["plan"]
+        goal_changed = (old is None or not np.array_equal(
+            np.asarray(old.goal()), np.asarray(new_plan.goal())))
+        slot["plan"] = new_plan
+        st = slot["state"]
+        slot["state"] = st.replace(
+            plan_start=jnp.int32(0),
+            slow_down=jnp.asarray(bool(goal_changed) or bool(st.slow_down)))
         return {"ok": True, "n_poses": int(poses.shape[0])}
 
     def _build_tick(self):
@@ -472,20 +546,27 @@ class OptimizerSession:
             return {"error": "no costmap set"}
         if self.footprint is None:
             return {"error": "no footprint set"}
-        if self._plan is None:
+        slot = self._slot(msg)
+        if slot["plan"] is None:
             return {"error": "no plan set (op set_plan first)"}
+        pose = np.asarray(msg["pose"], np.float32)
+        vel = np.asarray(msg["vel"], np.float32)
+        if pose.shape != (3,) or vel.shape != (3,):
+            # Validate BEFORE tracing: a short pose would raise IndexError
+            # inside jit, which escapes handle()'s error net and kills the
+            # connection (round-3 review finding).
+            return {"error": "pose and vel must be [x, y, yaw]/[vx, vy, wz]"}
         if "delta_t" in msg:
             delta_t = float(msg["delta_t"])
         else:
             now = time.time()
-            delta_t = now - self.last_time
-            self.last_time = now
+            delta_t = now - slot["last_time"]
+            slot["last_time"] = now
         if self._tick_fn is None:
             self._build_tick()
-        packed, self.state = self._tick_fn(
-            self.state, self._plan,
-            jnp.asarray(np.asarray(msg["pose"], np.float32)),
-            jnp.asarray(np.asarray(msg["vel"], np.float32)),
+        packed, slot["state"] = self._tick_fn(
+            slot["state"], slot["plan"],
+            jnp.asarray(pose), jnp.asarray(vel),
             jnp.float32(delta_t), self.costmap, self.footprint)
         vec = np.asarray(packed)  # ONE fetch
         n = self.cfg.control_steps

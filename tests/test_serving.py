@@ -450,6 +450,7 @@ def test_concurrent_clients(cfg):
         x.start()
     for x in th:
         x.join(30)
+        assert not x.is_alive(), "hammer thread hung (server lock deadlock?)"
     assert not errs, errs
     c1.close()
     c2.close()
@@ -516,3 +517,85 @@ class TestFullTickMode:
                       "delta_t": 0.033})
         assert r["lethal"]
         np.testing.assert_allclose(r["output_vel"], [0, 0, 0])
+
+
+def test_robot_slots_isolated(cfg):
+    """Single-robot ops with distinct "robot" ids keep fully isolated
+    state/clock/plan — several robot processes can share one threaded server
+    (round-3 review: the shared single session silently cross-polluted
+    warm starts and stuck clocks once connections became concurrent)."""
+    s = OptimizerSession(cfg)
+    s.handle({"op": "set_costmap", "data": np.zeros((40, 40)).tolist(),
+              "origin": [-1, -1], "resolution": 0.05})
+    s.handle({"op": "set_footprint",
+              "points": [[0.3, 0.2], [-0.3, 0.2], [-0.3, -0.2], [0.3, -0.2]]})
+    # Robot A ticks twice (warm), robot B once (cold): B's first command
+    # must equal a fresh session's first command, NOT continue A's ramp.
+    ra1 = s.handle(_opt_req(robot="A"))
+    ra2 = s.handle(_opt_req(robot="A"))
+    rb1 = s.handle(_opt_req(robot="B"))
+    np.testing.assert_allclose(rb1["output_vel"], ra1["output_vel"],
+                               atol=1e-6)
+    assert abs(ra2["output_vel"][0]) > abs(rb1["output_vel"][0]) - 1e-6
+    # Full-tick plans are per robot too.
+    plan_a = np.stack([np.linspace(0, 2.0, 50), np.zeros(50),
+                       np.zeros(50)], 1)
+    assert s.handle({"op": "set_plan", "poses": plan_a.tolist(),
+                     "robot": "A"})["ok"]
+    assert "error" in s.handle({"op": "tick", "pose": [0, 0, 0],
+                                "vel": [0, 0, 0], "delta_t": 0.033,
+                                "robot": "B"})  # B has no plan
+    rt = s.handle({"op": "tick", "pose": [0, 0, 0], "vel": [0, 0, 0],
+                   "delta_t": 0.033, "robot": "A"})
+    assert "output_vel" in rt
+
+
+def test_set_plan_same_goal_keeps_hysteresis(cfg):
+    """Re-publishing the UNCHANGED plan must not re-latch slow_down
+    (cpp:277-279 latches only on goal change; round-3 review finding)."""
+    import jax.numpy as jnp
+    s = OptimizerSession(cfg)
+    s.handle({"op": "set_costmap", "data": np.zeros((40, 40)).tolist(),
+              "origin": [-1, -1], "resolution": 0.05})
+    s.handle({"op": "set_footprint",
+              "points": [[0.3, 0.2], [-0.3, 0.2], [-0.3, -0.2], [0.3, -0.2]]})
+    plan = np.stack([np.linspace(0, 2.0, 50), np.zeros(50), np.zeros(50)], 1)
+    s.handle({"op": "set_plan", "poses": plan.tolist()})
+    # Clear the hysteresis by hand (a straight-ahead tick would too).
+    s.state = s.state.replace(slow_down=jnp.asarray(False))
+    s.handle({"op": "set_plan", "poses": plan.tolist()})     # same goal
+    assert not bool(s.state.slow_down)
+    plan2 = plan + np.array([0.5, 0.0, 0.0])                 # new goal
+    s.handle({"op": "set_plan", "poses": plan2.tolist()})
+    assert bool(s.state.slow_down)
+
+
+def test_tick_rejects_malformed_pose(cfg):
+    s = OptimizerSession(cfg)
+    s.handle({"op": "set_costmap", "data": np.zeros((40, 40)).tolist(),
+              "origin": [-1, -1], "resolution": 0.05})
+    s.handle({"op": "set_footprint",
+              "points": [[0.3, 0.2], [-0.3, 0.2], [-0.3, -0.2], [0.3, -0.2]]})
+    plan = np.stack([np.linspace(0, 2.0, 50), np.zeros(50), np.zeros(50)], 1)
+    s.handle({"op": "set_plan", "poses": plan.tolist()})
+    r = s.handle({"op": "tick", "pose": [0, 0], "vel": [0, 0, 0],
+                  "delta_t": 0.033})
+    assert "error" in r
+
+
+def test_reset_clears_plan(cfg):
+    """A tick after a new-mission reset must error until the new set_plan
+    arrives — not drive toward the previous mission's goal (round-3
+    review finding)."""
+    s = OptimizerSession(cfg)
+    s.handle({"op": "set_costmap", "data": np.zeros((40, 40)).tolist(),
+              "origin": [-1, -1], "resolution": 0.05})
+    s.handle({"op": "set_footprint",
+              "points": [[0.3, 0.2], [-0.3, 0.2], [-0.3, -0.2], [0.3, -0.2]]})
+    plan = np.stack([np.linspace(0, 2.0, 50), np.zeros(50), np.zeros(50)], 1)
+    s.handle({"op": "set_plan", "poses": plan.tolist()})
+    s.handle({"op": "tick", "pose": [0, 0, 0], "vel": [0, 0, 0],
+              "delta_t": 0.033})
+    s.handle({"op": "reset"})
+    assert "error" in s.handle({"op": "tick", "pose": [0, 0, 0],
+                                "vel": [0, 0, 0], "delta_t": 0.033})

@@ -199,21 +199,25 @@ class OptimizerSession:
     # serial per-field fetches at ~25 ms tunnel RTT each = 177 ms/tick).
     _REQ_W = 15
 
+    @staticmethod
+    def _pack_common(o) -> list:
+        """Shared response-vector prefix [cmd(3), converged, iters, fun,
+        collision, collision_footprint] = 8 slots — the ONE place the layout
+        lives; _resp_from_vec is its decoder. op_tick appends its extra
+        fields after this prefix."""
+        f32 = o.cmd_vel.dtype
+        flag = lambda x: x.astype(f32)[None]
+        return [o.cmd_vel, flag(o.solver_converged), flag(o.solver_iters),
+                flag(o.fun), flag(o.collision), flag(o.collision_footprint)]
+
     def _rebuild(self) -> None:
         cfg = self.cfg
         solver = make_sqp_solver(cfg, make_objective(cfg, parity=True))
+        pack_common = self._pack_common
 
         def pack_out(out):
-            f32 = out.cmd_vel.dtype
-            return jnp.concatenate([
-                out.cmd_vel,
-                out.solver_converged.astype(f32)[None],
-                out.solver_iters.astype(f32)[None],
-                out.fun.astype(f32)[None],
-                out.collision.astype(f32)[None],
-                out.collision_footprint.astype(f32)[None],
-                out.local_plan.reshape(-1),
-            ])
+            return jnp.concatenate(
+                pack_common(out) + [out.local_plan.reshape(-1)])
 
         def one_req(st, rq, costmap, footprint, weights, limits):
             scen = Scenario(
@@ -425,7 +429,9 @@ class OptimizerSession:
         req[14] = float(delta_t)
         return req
 
-    def _resp_from_vec(self, vec: np.ndarray) -> dict:
+    def _resp_from_vec(self, vec: np.ndarray, lp_off: int = 8) -> dict:
+        """Decode the _pack_common prefix + the local plan at lp_off (8 for
+        the optimizer ops; the full-tick vector carries extras in between)."""
         n = self.cfg.control_steps
         return {
             "output_vel": vec[:3].tolist(),
@@ -434,7 +440,8 @@ class OptimizerSession:
             "cost": float(vec[5]),
             "collision": bool(vec[6] > 0.5),
             "collision_footprint": bool(vec[7] > 0.5),
-            "local_plan": vec[8:8 + 3 * (n + 1)].reshape(n + 1, 3).tolist(),
+            "local_plan": vec[lp_off:lp_off + 3 * (n + 1)]
+                          .reshape(n + 1, 3).tolist(),
         }
 
     def _warmup_resp(self) -> dict:
@@ -510,6 +517,8 @@ class OptimizerSession:
         cfg = self.cfg
         step = make_batched_controller_step(cfg, parity=True)
 
+        pack_common = self._pack_common
+
         def tickfn(state, plan, pose, vel, dt, costmap, footprint):
             args = jax.tree.map(lambda a: a[None],
                                 (state, plan, pose, vel, costmap, footprint,
@@ -518,13 +527,7 @@ class OptimizerSession:
             o = jax.tree.map(lambda x: x[0], out)
             f32 = o.cmd_vel.dtype
             flag = lambda x: x.astype(f32)[None]
-            packed = jnp.concatenate([
-                o.cmd_vel,                         # 0:3
-                flag(o.solver_converged),          # 3
-                flag(o.solver_iters),              # 4
-                flag(o.fun),                       # 5
-                flag(o.collision),                 # 6
-                flag(o.collision_footprint),       # 7
+            packed = jnp.concatenate(pack_common(o) + [   # 0:8 shared prefix
                 flag(o.lethal),                    # 8
                 flag(o.plan_empty),                # 9
                 o.carrot_pose,                     # 10:13
@@ -569,21 +572,15 @@ class OptimizerSession:
             jnp.asarray(pose), jnp.asarray(vel),
             jnp.float32(delta_t), self.costmap, self.footprint)
         vec = np.asarray(packed)  # ONE fetch
-        n = self.cfg.control_steps
-        return {
-            "output_vel": vec[:3].tolist(),
-            "success": bool(vec[3] > 0.5),
-            "iterations": int(round(float(vec[4]))),
-            "cost": float(vec[5]),
-            "collision": bool(vec[6] > 0.5),
-            "collision_footprint": bool(vec[7] > 0.5),
+        resp = self._resp_from_vec(vec, lp_off=15)
+        resp.update({
             "lethal": bool(vec[8] > 0.5),
             "plan_empty": bool(vec[9] > 0.5),
             "carrot_pose": vec[10:13].tolist(),
             "plan_window": [int(round(float(vec[13]))),
                             int(round(float(vec[14])))],
-            "local_plan": vec[15:15 + 3 * (n + 1)].reshape(n + 1, 3).tolist(),
-        }
+        })
+        return resp
 
     def _resize_fleet(self, pad: int) -> None:
         """Grow/shrink the persistent lane state to `pad` lanes: lanes that

@@ -15,6 +15,9 @@ transport is a newline-delimited JSON protocol over TCP (no ROS, no DDS):
      "control_interval": 0.033}   # fleet tick: one device batch per call
     {"op": "set_plan", "poses": [[x, y, yaw], ...]}   # full-tick mode
     {"op": "tick", "pose": [x,y,yaw], "vel": [vx,vy,wz]}
+    {"op": "set_plans", "plans": [<poses>, ...]}      # batched full tick
+    {"op": "tick_batch", "robots": [{"pose": …, "vel": …}, ...]}
+    {"op": "save_state"/"load_state", "path": "name.npz"[, "fleet": true]}
     {"op": "reset"}        # new-mission reset (the reference restarts the node)
     {"op": "ping"}
 
@@ -141,6 +144,14 @@ class OptimizerSession:
         self._fleet_n = 0
         # Full-tick executable (op_set_plan/op_tick); built lazily.
         self._tick_fn = None
+        # Batched full-tick fleet (op_set_plans/op_tick_batch): positional
+        # per-lane plans + lane states, padded like op_optimizer_batch.
+        self._ftick_state = None
+        self._ftick_plans = None
+        self._ftick_goals = None
+        self._ftick_n = 0
+        self._ftick_last_time = 0.0
+        self._tick_batch_fn = None
         self._rebuild()
 
     def _slot(self, msg: dict) -> dict:
@@ -250,7 +261,8 @@ class OptimizerSession:
                                         weights, limits))(state, reqs)
 
         self._fleet_step = jax.jit(fleet_step)
-        self._tick_fn = None  # full-tick executable follows cfg; rebuild lazily
+        self._tick_fn = None  # full-tick executables follow cfg; rebuild lazily
+        self._tick_batch_fn = None
         # Weights/limits always travel as traced pytrees so runtime parameter
         # updates (RUNTIME_PARAMS) hit the same compiled executable.
         self._weights = Weights.from_config(cfg)
@@ -269,6 +281,15 @@ class OptimizerSession:
                 != 3 * cfg.control_steps):
             self._fleet_state = None
             self._fleet_pending = None
+        if (self._ftick_state is not None
+                and self._ftick_state.initial_guess.shape[-1]
+                != 3 * cfg.control_steps):
+            # control_steps resize: the staged batched-full-tick fleet must
+            # be re-staged (lane states are shape-bound).
+            self._ftick_state = None
+            self._ftick_plans = None
+            self._ftick_goals = None
+            self._ftick_n = 0
 
     # ---- ops ----
     def op_configure(self, msg: dict) -> dict:
@@ -300,6 +321,7 @@ class OptimizerSession:
             # pursuit tick builds its Scenario in-graph), so IT must rebuild
             # even on the otherwise retrace-free path.
             self._tick_fn = None
+            self._tick_batch_fn = None
             return {"ok": True, "pipelined": self.pipelined, "retraced": False}
         # A shape-changing reconfigure invalidates any pipelined pending
         # result (its packed layout follows the OLD control_steps).
@@ -351,6 +373,11 @@ class OptimizerSession:
         self._fleet_pending = None
         self._fleet_n = 0
         self._fleet_last_time = 0.0
+        self._ftick_state = None
+        self._ftick_plans = None
+        self._ftick_goals = None
+        self._ftick_n = 0
+        self._ftick_last_time = 0.0
         return {"ok": True}
 
     def op_ping(self, msg: dict) -> dict:
@@ -581,6 +608,137 @@ class OptimizerSession:
                             int(round(float(vec[14])))],
         })
         return resp
+
+    def op_set_plans(self, msg: dict) -> dict:
+        """Stage positional per-lane plans for op_tick_batch (the batched
+        full-tick fleet: server-side pursuit + solve for N robots as ONE
+        device dispatch). Plans are positional like optimizer_batch robots;
+        lanes whose goal CHANGED (and new lanes) get the setPlan latch
+        (prefix reset + slow-down, cpp:274-281); surviving same-goal lanes
+        keep their hysteresis and warm state."""
+        from .ops.pursuit import Plan
+
+        raw = msg.get("plans", [])
+        if not raw:
+            return {"error": "empty plans list"}
+        built = []
+        for p in raw:
+            poses = np.asarray(p, np.float32)
+            if poses.ndim != 2 or poses.shape[0] < 1 or poses.shape[1] != 3:
+                return {"error": "each plan must be a non-empty (N, 3) list"}
+            if poses.shape[0] > self.cfg.max_plan_points:
+                return {"error": f"a plan has {poses.shape[0]} poses > "
+                                 f"max_plan_points={self.cfg.max_plan_points}"}
+            built.append(Plan.create(poses,
+                                     max_points=self.cfg.max_plan_points))
+        n = len(built)
+        pad = 4
+        while pad < n:
+            pad *= 2
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
+                               *(built + [built[0]] * (pad - n)))
+        new_goals = np.stack([np.asarray(b.goal()) for b in built])
+
+        fresh = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (pad,) + x.shape),
+            init_state(self.cfg))
+        old_st = self._ftick_state
+        keep = (min(self._ftick_n, n, int(old_st.initial_guess.shape[0]))
+                if old_st is not None else 0)
+        st = (fresh if old_st is None else jax.tree.map(
+            lambda f, o: f.at[:keep].set(o[:keep]), fresh, old_st))
+        # Per-lane setPlan latch: goal changed (vs the previous staging) or
+        # lane is new.
+        changed = np.ones((pad,), bool)
+        if self._ftick_goals is not None:
+            k = min(keep, len(self._ftick_goals), n)
+            changed[:k] = np.any(self._ftick_goals[:k] != new_goals[:k],
+                                 axis=-1)
+        st = st.replace(
+            plan_start=jnp.zeros((pad,), jnp.int32),
+            slow_down=st.slow_down | jnp.asarray(changed))
+        self._ftick_state = st
+        self._ftick_plans = stacked
+        self._ftick_goals = new_goals
+        self._ftick_n = n
+        return {"ok": True, "n_plans": n, "lanes": pad}
+
+    def _build_tick_batch(self):
+        from .engine import controller_step
+
+        cfg = self.cfg
+        solver = make_sqp_solver(cfg, make_objective(cfg, parity=True))
+        pack_common = self._pack_common
+
+        def fn(state, plans, reqs, costmap, footprint):
+            # reqs: (B, 7) = [pose(3), vel(3), delta_t]. costmap/footprint
+            # closed over (shared, read in place — not broadcast B times).
+            def one(st, pl, rq):
+                o = controller_step(cfg, st, pl, rq[0:3], rq[3:6], costmap,
+                                    footprint, rq[6], solver=solver)
+                f32 = o.cmd_vel.dtype
+                flag = lambda x: x.astype(f32)[None]
+                packed = jnp.concatenate(pack_common(o) + [
+                    flag(o.lethal), flag(o.plan_empty), o.carrot_pose,
+                    flag(o.plan_window_begin), flag(o.plan_window_end),
+                    o.local_plan.reshape(-1)])
+                return packed, o.state
+
+            return jax.vmap(one)(state, plans, reqs)
+
+        self._tick_batch_fn = jax.jit(fn)
+
+    def op_tick_batch(self, msg: dict) -> dict:
+        """Batched full-tick fleet: {"op": "tick_batch", "robots":
+        [{"pose": …, "vel": …}, …]} — robot count must match the staged
+        op_set_plans count. One device dispatch runs pursuit + solve +
+        post-processing for every lane; blocking (no pipelined variant)."""
+        if self.costmap is None:
+            return {"error": "no costmap set"}
+        if self.footprint is None:
+            return {"error": "no footprint set"}
+        if self._ftick_plans is None:
+            return {"error": "no plans staged (op set_plans first)"}
+        robots = msg.get("robots", [])
+        if len(robots) != self._ftick_n:
+            return {"error": f"{len(robots)} robots != {self._ftick_n} "
+                             f"staged plans (re-stage with set_plans)"}
+        pad = int(self._ftick_state.initial_guess.shape[0])
+        if "delta_t" in msg:
+            delta_t = float(msg["delta_t"])
+        else:
+            now = time.time()
+            delta_t = now - self._ftick_last_time
+            self._ftick_last_time = now
+        reqs = np.zeros((pad, 7), np.float32)
+        reqs[:, 6] = delta_t
+        for i, r in enumerate(robots):
+            pose = np.asarray(r["pose"], np.float32)
+            vel = np.asarray(r["vel"], np.float32)
+            if pose.shape != (3,) or vel.shape != (3,):
+                return {"error": "pose and vel must be "
+                                 "[x, y, yaw]/[vx, vy, wz]"}
+            reqs[i, 0:3] = pose
+            reqs[i, 3:6] = vel
+        if self._tick_batch_fn is None:
+            self._build_tick_batch()
+        packed, self._ftick_state = self._tick_batch_fn(
+            self._ftick_state, self._ftick_plans, jnp.asarray(reqs),
+            self.costmap, self.footprint)
+        vecs = np.asarray(packed)  # ONE batched fetch
+        results = []
+        for i in range(self._ftick_n):
+            vec = vecs[i]
+            resp = self._resp_from_vec(vec, lp_off=15)
+            resp.update({
+                "lethal": bool(vec[8] > 0.5),
+                "plan_empty": bool(vec[9] > 0.5),
+                "carrot_pose": vec[10:13].tolist(),
+                "plan_window": [int(round(float(vec[13]))),
+                                int(round(float(vec[14])))],
+            })
+            results.append(resp)
+        return {"results": results}
 
     def _resize_fleet(self, pad: int) -> None:
         """Grow/shrink the persistent lane state to `pad` lanes: lanes that

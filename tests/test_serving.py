@@ -599,3 +599,61 @@ def test_reset_clears_plan(cfg):
     s.handle({"op": "reset"})
     assert "error" in s.handle({"op": "tick", "pose": [0, 0, 0],
                                 "vel": [0, 0, 0], "delta_t": 0.033})
+
+
+class TestBatchedFullTick:
+    """set_plans/tick_batch: server-side pursuit + solve for N robots as one
+    device dispatch (the batched counterpart of the full-tick mode)."""
+
+    def _staged(self, cfg):
+        s = OptimizerSession(cfg)
+        s.handle({"op": "set_costmap", "data": np.zeros((40, 40)).tolist(),
+                  "origin": [-1, -1], "resolution": 0.05})
+        s.handle({"op": "set_footprint",
+                  "points": [[0.3, 0.2], [-0.3, 0.2], [-0.3, -0.2],
+                             [0.3, -0.2]]})
+        return s
+
+    def test_matches_per_robot_full_tick(self, cfg):
+        """tick_batch lane i == a dedicated full-tick slot driving the same
+        plan/pose stream (1e-5: vmap fusion reassociation)."""
+        s = self._staged(cfg)
+        plans = [np.stack([np.linspace(0, 2.0, 50), np.full(50, 0.1 * i),
+                           np.zeros(50)], 1) for i in range(3)]
+        assert s.handle({"op": "set_plans",
+                         "plans": [p.tolist() for p in plans]})["ok"]
+        single = self._staged(cfg)
+        for i, p in enumerate(plans):
+            single.handle({"op": "set_plan", "poses": p.tolist(),
+                           "robot": f"r{i}"})
+        poses = [[0.0, 0.1 * i, 0.0] for i in range(3)]
+        vels = [[0.2, 0, 0]] * 3
+        for tick in range(3):
+            rb = s.handle({"op": "tick_batch", "delta_t": 1 / 30,
+                           "robots": [{"pose": poses[i], "vel": vels[i]}
+                                      for i in range(3)]})
+            assert len(rb["results"]) == 3
+            for i in range(3):
+                ri = single.handle({"op": "tick", "pose": poses[i],
+                                    "vel": vels[i], "delta_t": 1 / 30,
+                                    "robot": f"r{i}"})
+                np.testing.assert_allclose(rb["results"][i]["output_vel"],
+                                           ri["output_vel"], atol=1e-5)
+                assert (rb["results"][i]["plan_window"]
+                        == ri["plan_window"])
+
+    def test_count_mismatch_and_restage(self, cfg):
+        s = self._staged(cfg)
+        plan = np.stack([np.linspace(0, 2.0, 50), np.zeros(50),
+                         np.zeros(50)], 1)
+        assert "error" in s.handle({"op": "tick_batch", "robots": []})
+        s.handle({"op": "set_plans", "plans": [plan.tolist()] * 2})
+        r = s.handle({"op": "tick_batch", "delta_t": 1 / 30,
+                      "robots": [{"pose": [0, 0, 0], "vel": [0, 0, 0]}] * 3})
+        assert "error" in r  # 3 robots vs 2 staged plans
+        # Same-goal re-stage keeps hysteresis; grow to 3 works.
+        s.handle({"op": "set_plans", "plans": [plan.tolist()] * 3})
+        r = s.handle({"op": "tick_batch", "delta_t": 1 / 30,
+                      "robots": [{"pose": [0, 0, 0], "vel": [0, 0, 0]}] * 3})
+        assert len(r["results"]) == 3
+        assert all("output_vel" in x for x in r["results"])

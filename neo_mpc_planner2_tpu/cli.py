@@ -66,13 +66,19 @@ def server_main(argv=None) -> None:
     ap.add_argument("--checkpoint-dir", default=None,
                     help="enable the save_state/load_state ops, confined to "
                          "this directory (disabled when unset)")
+    ap.add_argument("--max-slots", type=int, default=1024,
+                    help="hard LRU cap on per-robot session slots")
+    ap.add_argument("--slot-ttl", type=float, default=None,
+                    help="expire robot slots idle longer than this many "
+                         "seconds (default: no TTL, LRU cap only)")
     args = ap.parse_args(argv)
 
     cfg = (config_from_ros_params(_load_params_file(args.params_file))
            if args.params_file else default_config())
     print(f"[neo-mpc-server] listening on {args.host}:{args.port}", file=sys.stderr)
     serve(args.host, args.port, cfg, pipelined=args.pipelined,
-          checkpoint_dir=args.checkpoint_dir)
+          checkpoint_dir=args.checkpoint_dir, max_slots=args.max_slots,
+          slot_ttl=args.slot_ttl)
 
 
 def bench_main(argv=None) -> None:

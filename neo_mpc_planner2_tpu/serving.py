@@ -18,6 +18,7 @@ transport is a newline-delimited JSON protocol over TCP (no ROS, no DDS):
     {"op": "set_plans", "plans": [<poses>, ...]}      # batched full tick
     {"op": "tick_batch", "robots": [{"pose": …, "vel": …}, ...]}
     {"op": "save_state"/"load_state", "path": "name.npz"[, "fleet": true]}
+    {"op": "release", "robot": id}  # drop one robot's session slot
     {"op": "reset"}        # new-mission reset (the reference restarts the node)
     {"op": "ping"}
 
@@ -102,8 +103,18 @@ class OptimizerSession:
     by the C++ host front-end through the in-process path)."""
 
     def __init__(self, cfg: Optional[MpcConfig] = None, pipelined: bool = False,
-                 checkpoint_dir: Optional[str] = None):
+                 checkpoint_dir: Optional[str] = None, max_slots: int = 1024,
+                 slot_ttl: Optional[float] = None):
         self.cfg = cfg or default_config()
+        # Slot lifecycle (round-3 verdict: slots never died — a long-running
+        # server with churning robot ids grew device/host memory without
+        # bound). max_slots is a hard LRU cap enforced when a NEW slot is
+        # created; slot_ttl (seconds, None = off) additionally expires slots
+        # idle longer than the TTL at the same point. Explicit release is the
+        # "release" op. The monotonic clock is injectable for tests.
+        self.max_slots = int(max_slots)
+        self.slot_ttl = slot_ttl
+        self._slot_clock = time.monotonic
         # save_state/load_state ops resolve request paths INSIDE this
         # directory only; None disables them (the request path arrives over
         # an unauthenticated socket — it must never be an arbitrary-path
@@ -156,11 +167,37 @@ class OptimizerSession:
 
     def _slot(self, msg: dict) -> dict:
         rid = str(msg.get("robot", ""))
-        if rid not in self._slots:
-            self._slots[rid] = {"state": init_state(self.cfg),
-                                "last_time": 0.0, "plan": None,
-                                "pending": None}
-        return self._slots[rid]
+        slot = self._slots.get(rid)
+        if slot is None:
+            # Creation is the only growth path, so eviction here bounds the
+            # slot count: expire TTL-idle slots, then enforce the LRU cap
+            # (leaving room for the new slot). An evicted robot that returns
+            # simply starts from init_state — the same graceful degradation
+            # as a reference server restart.
+            now = self._slot_clock()
+            if self.slot_ttl is not None:
+                dead = [r for r, s in self._slots.items()
+                        if now - s["last_used"] > self.slot_ttl]
+                for r in dead:
+                    del self._slots[r]
+            while len(self._slots) >= self.max_slots:
+                lru = min(self._slots, key=lambda r: self._slots[r]["last_used"])
+                del self._slots[lru]
+            slot = self._slots[rid] = {"state": init_state(self.cfg),
+                                       "last_time": 0.0, "plan": None,
+                                       "pending": None, "last_used": now}
+        else:
+            slot["last_used"] = self._slot_clock()
+        return slot
+
+    def op_release(self, msg: dict) -> dict:
+        """Explicitly drop a robot's session slot (warm start, stuck clock,
+        plan, pending result). A decommissioned/renamed robot should release
+        its slot so a long-running server does not hold its device arrays
+        until TTL/LRU eviction. {"op": "release", "robot": id}."""
+        rid = str(msg.get("robot", ""))
+        released = self._slots.pop(rid, None) is not None
+        return {"ok": True, "released": released, "slots": len(self._slots)}
 
     # Default-slot views (tests / in-process callers address the single-robot
     # state directly; the default slot IS the reference's one server state).
@@ -381,7 +418,8 @@ class OptimizerSession:
         return {"ok": True}
 
     def op_ping(self, msg: dict) -> dict:
-        return {"ok": True, "backend": jax.default_backend()}
+        return {"ok": True, "backend": jax.default_backend(),
+                "slots": len(self._slots)}
 
     def _checkpoint_path(self, msg: dict) -> str:
         """Resolve a request's checkpoint name inside checkpoint_dir. The
@@ -842,7 +880,8 @@ class OptimizerSession:
 def serve(host: str = "127.0.0.1", port: int = 7180,
           cfg: Optional[MpcConfig] = None, ready_event=None,
           pipelined: bool = False,
-          checkpoint_dir: Optional[str] = None) -> None:
+          checkpoint_dir: Optional[str] = None, max_slots: int = 1024,
+          slot_ttl: Optional[float] = None) -> None:
     """Blocking server loop (ros2 run … mpc_optimization_server equivalent,
     README.md:92). checkpoint_dir enables the save_state/load_state ops,
     confined to that directory.
@@ -856,7 +895,8 @@ def serve(host: str = "127.0.0.1", port: int = 7180,
     import threading
 
     session = OptimizerSession(cfg, pipelined=pipelined,
-                               checkpoint_dir=checkpoint_dir)
+                               checkpoint_dir=checkpoint_dir,
+                               max_slots=max_slots, slot_ttl=slot_ttl)
     lock = threading.Lock()
 
     class Handler(socketserver.StreamRequestHandler):

@@ -1,0 +1,313 @@
+"""Large-scale oracle-parity study (the BASELINE.md north-star gate).
+
+Runs N scenarios of the canonical MPO-700/MPO-500 suites through BOTH sides:
+
+  device: pursuit -> ONE vmapped solve_step dispatch (ftol 1e-8, 300 iters)
+  oracle: scipy SLSQP server (oracle.OracleServer) on a multiprocessing pool
+
+and reports the full command-diff distribution, the matched fraction at the
+1e-2 m/s tolerance the committed gate uses, and a per-scenario breakdown of
+every unmatched command (which side reached the better objective, scipy's
+success flag). It also measures scipy's OWN self-agreement ceiling: each
+oracle solve is re-run from +/-1e-6-perturbed warm starts; the fraction of
+scenarios where scipy disagrees with itself beyond the same tolerance bounds
+what any cross-solver gate can honestly demand.
+
+Usage (CPU; the oracle is scipy either way):
+  env -u PYTHONPATH JAX_PLATFORMS=cpu python scripts/parity_study.py \
+      --n 300 --out PARITY_REPORT.json
+
+Reference anchor: mpc_optimization_server.py:363-364 (the scipy call this
+study replicates bit-faithfully on the oracle side).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import multiprocessing as mp
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CMD_TOL = 1e-2          # the committed gate's command tolerance (m/s)
+OBJ_TIE_TOL = 1e-4      # objective-gap tolerance for "distinct minimum" calls
+PERTURB = 1e-6          # warm-start perturbation for the self-agreement probe
+
+
+def _suite_cfg(chassis: str):
+    import neo_mpc_planner2_tpu as mpc
+
+    cfg = mpc.default_config().replace(
+        prediction_horizon=0.8, control_steps=3, opt_tolerance=1e-8,
+        footprint_edge_samples=8, max_plan_points=64,
+        acc_x_limit=2.5, acc_y_limit=2.5, acc_theta_limit=3.0,
+        min_vel_x=-0.7, min_vel_y=-0.7, min_vel_theta=-0.7,
+        max_vel_x=0.7, max_vel_y=0.7, max_vel_trans=0.7, max_vel_theta=0.7,
+        w_trans=0.82, w_orient=0.5, w_control=0.05, w_terminal=0.05,
+        w_costmap=0.05, w_footprint=0.0,
+        lookahead_dist_min=0.4, lookahead_dist_max=0.4,
+        lookahead_dist_close_to_goal=0.4,
+    )
+    if chassis == "mpo500":
+        cfg = cfg.replace(min_vel_x=-0.8, max_vel_x=0.8,
+                          min_vel_y=-0.8, max_vel_y=0.8, max_vel_trans=0.8)
+    return cfg
+
+
+# ---------------------------------------------------------------------------
+# Oracle side (runs in pool workers; numpy/scipy only)
+# ---------------------------------------------------------------------------
+
+_WORKER = {}
+
+
+def _init_worker(cfg_bytes):
+    import pickle
+
+    _WORKER["cfg"] = pickle.loads(cfg_bytes)
+
+
+def _oracle_one(task):
+    """Solve one scenario with the scipy oracle + K perturbed-warm-start
+    re-solves for the self-agreement probe. Returns plain floats."""
+    from neo_mpc_planner2_tpu.oracle import NpCostmap, NpScenario, OracleServer
+
+    (idx, pose, carrot, goal, vel, fp_np, cm_data, cm_origin, cm_res,
+     switch_opt, n_perturb, seed) = task
+    cfg = _WORKER["cfg"]
+    npcm = NpCostmap(cm_data, cm_origin, cm_res)
+    nps = NpScenario(pose, carrot, goal, vel, fp_np, npcm,
+                     switch_opt=switch_opt, control_interval=1 / 30)
+
+    srv = OracleServer(cfg)
+    cmd, diag = srv.solve(nps, 1 / 30)
+
+    # Self-agreement: fresh servers, warm start perturbed by +/-PERTURB.
+    rng = np.random.default_rng(seed)
+    self_diff = 0.0
+    for _ in range(n_perturb):
+        srv_p = OracleServer(cfg)
+        # Pre-seed old_goal so the new-goal reset does not zero the perturbed
+        # guess, then perturb.
+        srv_p.old_goal = goal.copy()
+        srv_p.initial_guess = (np.zeros(cfg.control_steps * 3)
+                               + rng.choice([-PERTURB, PERTURB],
+                                            cfg.control_steps * 3))
+        cmd_p, _ = srv_p.solve(nps, 1 / 30)
+        self_diff = max(self_diff, float(np.abs(cmd_p - cmd).max()))
+
+    return {
+        "idx": int(idx),
+        "cmd": [float(v) for v in cmd],
+        "fun": diag["fun"],
+        "success": diag["success"],
+        "nit": diag["nit"],
+        "collision": bool(diag["collision"]),
+        "collision_footprint": bool(diag["collision_footprint"]),
+        "self_diff": self_diff,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Device side (one vmapped dispatch)
+# ---------------------------------------------------------------------------
+
+def _device_solves(cfg, sb, n):
+    import jax
+    import jax.numpy as jnp
+
+    import neo_mpc_planner2_tpu as mpc
+    from neo_mpc_planner2_tpu.engine import init_state, solve_step
+    from neo_mpc_planner2_tpu.ops.pursuit import pursuit_tick
+
+    tick = jax.jit(jax.vmap(lambda plan, pose, cm, fp: pursuit_tick(
+        cfg, plan, jnp.int32(0), jnp.asarray(False), pose, cm, fp)))
+    pr = tick(sb.plan, sb.robot_pose, sb.costmap, sb.footprint)
+
+    goal = sb.plan.poses[jnp.arange(n), sb.plan.n_valid - 1]
+    scen = jax.vmap(lambda pose, carrot, g, vel, fp, cm, sw: mpc.Scenario.create(
+        pose, carrot, g, vel, fp, cm, switch_opt=sw, control_interval=1 / 30))(
+        sb.robot_pose, pr.carrot_pose, goal, sb.current_vel, sb.footprint,
+        sb.costmap, pr.closer_to_goal)
+
+    solver = mpc.make_sqp_solver(cfg, mpc.make_objective(cfg), ftol=1e-8,
+                                 max_iters=300)
+    st = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (n,) + x.shape), init_state(cfg))
+    step = jax.jit(jax.vmap(lambda s, sc: solve_step(
+        cfg, s, sc, jnp.float32(1 / 30), solver=solver)))
+    out = step(st, scen)
+    return pr, out
+
+
+def run_suite(name, chassis, n, seed, workers, n_perturb, lethal_threshold=None,
+              pose_jitter=0.05):
+    import pickle
+
+    import jax
+    import numpy as np
+
+    from neo_mpc_planner2_tpu.ops.footprint import Footprint
+    from neo_mpc_planner2_tpu.scenarios import (
+        MPO500_LENGTH, MPO500_WIDTH, MPO700_LENGTH, MPO700_WIDTH,
+        make_scenario_batch)
+
+    cfg = _suite_cfg(chassis)
+    L, W = ((MPO500_LENGTH, MPO500_WIDTH) if chassis == "mpo500"
+            else (MPO700_LENGTH, MPO700_WIDTH))
+    fp_dev = Footprint.rectangle(L, W, cfg.max_footprint_vertices)
+    sb = make_scenario_batch(cfg, n, seed=seed, map_size=48, plan_points=48,
+                             lethal_threshold=lethal_threshold,
+                             pose_jitter=pose_jitter, footprint=fp_dev)
+
+    t0 = time.time()
+    pr, out = _device_solves(cfg, sb, n)
+    cmd_dev = np.asarray(out.cmd_vel, float)
+    fun_dev = np.asarray(out.fun, float)
+    conv_dev = np.asarray(out.solver_converged)
+    plan_empty = np.asarray(pr.plan_empty)
+    lethal = np.asarray(pr.lethal)
+    carrot = np.asarray(pr.carrot_pose, float)
+    closer = np.asarray(pr.closer_to_goal)
+    t_dev = time.time() - t0
+    print(f"[{name}] device: {n} solves in one dispatch, {t_dev:.1f}s")
+
+    hl, hw = L / 2, W / 2
+    fp_np = np.array([[hl, hw], [-hl, hw], [-hl, -hw], [hl, -hw]])
+    goal = np.asarray(sb.plan.poses, float)[
+        np.arange(n), np.asarray(sb.plan.n_valid) - 1]
+
+    tasks = []
+    for i in range(n):
+        if plan_empty[i] or lethal[i]:
+            continue
+        tasks.append((
+            i, np.asarray(sb.robot_pose[i], float), carrot[i], goal[i],
+            np.asarray(sb.current_vel[i], float), fp_np,
+            np.asarray(sb.costmap.data[i], float),
+            np.asarray(sb.costmap.origin[i], float),
+            float(sb.costmap.resolution[i]), bool(closer[i]),
+            n_perturb, seed * 100003 + i))
+
+    t0 = time.time()
+    cfg_bytes = pickle.dumps(cfg)
+    with mp.get_context("spawn").Pool(workers, _init_worker,
+                                      (cfg_bytes,)) as pool:
+        oracle_rows = pool.map(_oracle_one, tasks, chunksize=4)
+    print(f"[{name}] oracle: {len(tasks)} solves x {1 + n_perturb} "
+          f"starts on {workers} workers, {time.time() - t0:.1f}s")
+
+    rows = []
+    for o in oracle_rows:
+        i = o["idx"]
+        diff = float(np.abs(cmd_dev[i] - np.asarray(o["cmd"])).max())
+        gap = fun_dev[i] - o["fun"]  # device minus oracle objective
+        rows.append({
+            "idx": i,
+            "cmd_diff": diff,
+            "obj_gap": float(gap),
+            "matched": diff < CMD_TOL,
+            "scipy_success": o["success"],
+            "scipy_nit": o["nit"],
+            "scipy_self_diff": o["self_diff"],
+            "device_converged": bool(conv_dev[i]),
+            "collision": o["collision"] or o["collision_footprint"],
+        })
+
+    checked = len(rows)
+    matched = sum(r["matched"] for r in rows)
+    diffs = np.array([r["cmd_diff"] for r in rows])
+    self_diffs = np.array([r["scipy_self_diff"] for r in rows])
+    unmatched = [r for r in rows if not r["matched"]]
+    # Classification of unmatched commands.
+    dev_better = [r for r in unmatched if r["obj_gap"] < -OBJ_TIE_TOL]
+    ora_better = [r for r in unmatched if r["obj_gap"] > OBJ_TIE_TOL]
+    tie = [r for r in unmatched
+           if -OBJ_TIE_TOL <= r["obj_gap"] <= OBJ_TIE_TOL]
+    self_flaky = [r for r in unmatched if r["scipy_self_diff"] >= CMD_TOL]
+
+    summary = {
+        "suite": name,
+        "n_scenarios": n,
+        "checked": checked,
+        "matched": matched,
+        "matched_frac": matched / max(checked, 1),
+        "cmd_diff_p50": float(np.percentile(diffs, 50)) if checked else None,
+        "cmd_diff_p90": float(np.percentile(diffs, 90)) if checked else None,
+        "cmd_diff_p99": float(np.percentile(diffs, 99)) if checked else None,
+        "cmd_diff_max": float(diffs.max()) if checked else None,
+        "scipy_self_agree_frac": float((self_diffs < CMD_TOL).mean())
+        if checked else None,
+        "scipy_self_diff_max": float(self_diffs.max()) if checked else None,
+        "unmatched": {
+            "count": len(unmatched),
+            "device_better_objective": len(dev_better),
+            "oracle_better_objective": len(ora_better),
+            "objective_tie": len(tie),
+            "scipy_self_disagrees_too": len(self_flaky),
+            "scipy_failed": sum(not r["scipy_success"] for r in unmatched),
+            "worst_oracle_better_gap": float(max(
+                (r["obj_gap"] for r in ora_better), default=0.0)),
+        },
+        "rows_unmatched": sorted(
+            ({k: r[k] for k in ("idx", "cmd_diff", "obj_gap", "scipy_success",
+                                "scipy_nit", "scipy_self_diff",
+                                "device_converged", "collision")}
+             for r in unmatched),
+            key=lambda r: -r["cmd_diff"]),
+    }
+    print(f"[{name}] matched {matched}/{checked} "
+          f"(frac={summary['matched_frac']:.3f}), "
+          f"p99 diff {summary['cmd_diff_p99']:.2e}, "
+          f"scipy self-agree {summary['scipy_self_agree_frac']:.3f}, "
+          f"unmatched: dev-better {len(dev_better)} / ora-better "
+          f"{len(ora_better)} / tie {len(tie)}")
+    return summary
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=300)
+    ap.add_argument("--seed", type=int, default=123)
+    ap.add_argument("--workers", type=int, default=max(2, os.cpu_count() - 1))
+    ap.add_argument("--perturb-reps", type=int, default=3)
+    ap.add_argument("--out", default="PARITY_REPORT.json")
+    ap.add_argument("--suites", default="mpo700,mpo500,footprint")
+    args = ap.parse_args()
+
+    results = []
+    suites = args.suites.split(",")
+    if "mpo700" in suites:
+        results.append(run_suite("mpo700", "mpo700", args.n, args.seed,
+                                 args.workers, args.perturb_reps))
+    if "mpo500" in suites:
+        results.append(run_suite("mpo500", "mpo500", args.n, args.seed + 99,
+                                 args.workers, args.perturb_reps))
+    if "footprint" in suites:
+        # The lethal-adjacent regime (footprint branch + x1000 discontinuities):
+        # reported separately — near exact-equality cliffs distinct minima are
+        # expected, so this row contextualizes rather than gates.
+        results.append(run_suite("lethal_adjacent", "mpo700", args.n,
+                                 args.seed + 198, args.workers,
+                                 args.perturb_reps, lethal_threshold=0.5,
+                                 pose_jitter=0.7))
+
+    report = {
+        "cmd_tol": CMD_TOL,
+        "obj_tie_tol": OBJ_TIE_TOL,
+        "perturb": PERTURB,
+        "perturb_reps": args.perturb_reps,
+        "suites": results,
+    }
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -6,6 +6,21 @@ This script measures sustained closed-loop throughput on device subsets
 deployment regime: more chips ⇒ more robots). Prints one JSON line per mesh
 size plus a summary efficiency.
 
+Protocol (round-4 revision): the rounds-2/3 protocol compared CHILDREN —
+sps(N devices, N cores) / (N · sps(1 device, 1 core)) — and measured 1.15-1.33
+"efficiency" because the 1-device child wears every per-process fixed cost
+(runtime threads contending with its single compute core) that the N-device
+children amortize. A measurement that exceeds 1.0 by construction cannot
+demonstrate the ≥0.8 target. Now every efficiency is normalized INSIDE one
+process: the N-device child (pinned to N cores) measures both its N-device
+steady-state per-tick time and a same-process 1-device baseline (per-device
+batch on device[0], with all N cores available — strictly more resources per
+device than any lane of the sharded run gets, and measured single-threaded
+for this program shape: 9.8k solves/s on 1 core vs 8.5k on 4). Efficiency =
+t_baseline / t_sharded ≤ 1 up to noise: the sharded run adds work and
+contention, never removes it. Steady state = min over repeats after a full
+warmup run (compile + first execution excluded).
+
 On real hardware run under the default env; in this repo's single-chip
 environment it reports the 1-chip point, and the CPU virtual mesh
 (JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8)
@@ -25,39 +40,50 @@ import numpy as np
 
 
 def pinned_main(args) -> None:
-    """Resource-honest weak scaling on the CPU virtual mesh: re-exec one
-    child per mesh size under `taskset` with exactly one physical core per
-    virtual device, so per-device compute is held constant while the device
-    count grows (without pinning, XLA's shared host thread pool lets ONE
-    device consume every core and the curve measures core saturation, not
-    sharding overhead). Efficiency = sps(N)/(N·sps(1))."""
+    """Resource-honest weak scaling on the CPU virtual mesh: one child per
+    mesh size under `taskset` with one physical core per virtual device.
+    Each child reports its own in-process 1-device baseline and efficiency
+    (see module docstring); this parent just runs the ladder and echoes.
+    Device counts beyond the core count run 2×-oversubscribed and are
+    annotated + excluded from any gate (their efficiency conflates core
+    starvation with sharding overhead)."""
     ncores = os.cpu_count() or 1
     sizes = []
     n = 1
-    while n <= ncores:
+    while n <= args.max_devices:
         sizes.append(n)
         n *= 2
-    results = []
     for nd in sizes:
-        cores = ",".join(str(c) for c in range(nd))
+        cores = ",".join(str(c) for c in range(min(nd, ncores)))
         env = dict(os.environ)
         env["JAX_PLATFORMS"] = "cpu"
         env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={nd}"
         env["NEO_MPC_SCALING_CHILD"] = "1"
+        env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))
         out = subprocess.run(
             ["taskset", "-c", cores, sys.executable, __file__,
              "--batch-per-device", str(args.batch_per_device),
-             "--ticks", str(args.ticks), "--map-size", str(args.map_size)],
+             "--ticks", str(args.ticks), "--map-size", str(args.map_size),
+             "--repeats", str(args.repeats)],
             env=env, capture_output=True, text=True, check=True)
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results.append(json.loads(line))
-        print(json.dumps(results[-1]), flush=True)
-    base = results[0]["solves_per_sec"]
-    for r in results[1:]:
-        eff = r["solves_per_sec"] / (base * r["devices"])
-        print(json.dumps({"pinned_scaling_efficiency": round(eff, 3),
-                          "devices": r["devices"],
-                          "cores_per_device": 1}), flush=True)
+        rec = json.loads(line)
+        if nd > ncores:
+            rec["oversubscribed"] = True  # cores < devices: excluded from gate
+        print(json.dumps(rec), flush=True)
+
+
+def _steady_time(fn, repeats: int) -> float:
+    """Min wall time over `repeats` calls of fn (fn must end in a host fetch),
+    after one un-timed warmup call (compile + first execution)."""
+    fn()
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main() -> None:
@@ -65,6 +91,8 @@ def main() -> None:
     ap.add_argument("--batch-per-device", type=int, default=256)
     ap.add_argument("--ticks", type=int, default=10)
     ap.add_argument("--map-size", type=int, default=48)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--max-devices", type=int, default=8)
     ap.add_argument("--pinned", action="store_true",
                     help="CPU virtual mesh: one core per device via taskset")
     args = ap.parse_args()
@@ -102,6 +130,12 @@ def main() -> None:
         if sizes[-1] != len(devices):
             sizes.append(len(devices))
 
+    sim = jax.jit(lambda b, t: batch_simulate(cfg, b, t), static_argnums=1)
+
+    def run_once(sb):
+        run = sim(sb, args.ticks)
+        np.asarray(jax.device_get(run.cmds[:1, -1]))  # real barrier
+
     results = []
     for nd in sizes:
         mesh = make_mesh(devices[:nd], hosts=1)
@@ -109,24 +143,26 @@ def main() -> None:
         sb = make_scenario_batch(cfg, B, seed=0, map_size=args.map_size,
                                  plan_points=24)
         sb = type(sb)(*[shard_batch(x, mesh) for x in sb])
-        sim = jax.jit(lambda b, t: batch_simulate(cfg, b, t), static_argnums=1)
-        run = sim(sb, args.ticks)
-        np.asarray(jax.device_get(run.cmds[:1, -1]))  # compile + barrier
-        t0 = time.perf_counter()
-        run = sim(sb, args.ticks)
-        np.asarray(jax.device_get(run.cmds[:1, -1]))
-        dt = time.perf_counter() - t0
-        sps = B * args.ticks / dt
-        results.append({"devices": nd, "batch": B,
-                        "solves_per_sec": round(sps, 1)})
-        print(json.dumps(results[-1]), flush=True)
+        t_shard = _steady_time(lambda: run_once(sb), args.repeats)
+        sps = B * args.ticks / t_shard
 
-    if len(results) > 1:
-        base = results[0]["solves_per_sec"]
-        eff = results[-1]["solves_per_sec"] / (base * results[-1]["devices"])
-        print(json.dumps({"scaling_efficiency": round(eff, 3),
-                          "from_devices": 1,
-                          "to_devices": results[-1]["devices"]}), flush=True)
+        # Same-process 1-device baseline: the per-device batch on device[0],
+        # with every core this child owns available to it. Strictly more
+        # resources per device than the sharded run gives any lane, so
+        # efficiency = t_base / t_shard cannot exceed 1 except by noise.
+        sb1 = make_scenario_batch(cfg, args.batch_per_device, seed=0,
+                                  map_size=args.map_size, plan_points=24)
+        sb1 = jax.device_put(sb1, devices[0])
+        t_base = _steady_time(lambda: run_once(sb1), args.repeats)
+
+        rec = {"devices": nd, "batch": B,
+               "solves_per_sec": round(sps, 1),
+               "baseline_1dev_solves_per_sec": round(
+                   args.batch_per_device * args.ticks / t_base, 1),
+               "steady_tick_ms": round(t_shard / args.ticks * 1e3, 2),
+               "efficiency": round(t_base / t_shard, 3)}
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":

@@ -216,6 +216,7 @@ def _main() -> None:
         "rolling_solves_per_sec": None,
         "rolling_window_cells": None,
         "dynamic_solves_per_sec": None,
+        "dynamic_updates_solves_per_sec": None,
         "serving_tick_ms": None,
         "serving_tick_p99_ms": None,
         "serving_fleet64_per_robot_ms": None,
@@ -302,6 +303,46 @@ def _main() -> None:
               file=sys.stderr)
     except Exception as e:
         print(f"[bench] dynamic-obstacle pass failed: {e!r}", file=sys.stderr)
+
+    # Dynamic via INCREMENTAL updates (round-3 verdict item 2): the realistic
+    # deployment pattern — per tick each lane's map receives ONE dirty-window
+    # write (Costmap.update_window: a 16² patch repainted around the moving
+    # obstacle; hoisted flat/u8 views refreshed in place) instead of a full
+    # grid re-synthesis. The delta vs the headline is the engine's true cost
+    # of a live costmap; the delta vs dynamic_solves_per_sec is what full
+    # re-synthesis (a synthetic stand-in for a sensor pipeline) was charging.
+    try:
+        if remaining() < 150:
+            raise TimeoutError("skipped: <150 s of budget left "
+                               "(needs a fresh compile)")
+        import jax.numpy as _jnp
+        rngu = np.random.default_rng(4)
+        half = args.map_size * 0.05 / 2
+        updp = (
+            _jnp.asarray(rngu.uniform(-half + 0.8, half - 0.3,
+                                      (args.batch, 2)), _jnp.float32),
+            _jnp.asarray(rngu.uniform(0.3, 0.95, (args.batch,)), _jnp.float32),
+            _jnp.asarray(rngu.uniform(-0.25, 0.25, (args.batch, 2)),
+                         _jnp.float32),
+        )
+        simu = jax.jit(
+            lambda b, c, a, v, t: batch_simulate(
+                cfg, b, t, costmap_updates=(c, a, v), update_cells=16),
+            static_argnums=4)
+        runu = simu(sb, *updp, args.ticks)
+        sync(runu.cmds)
+        su = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            runu = simu(sb, *updp, args.ticks)
+            sync(runu.cmds)
+            su = min(su, time.perf_counter() - t0)
+        _results["dynamic_updates_solves_per_sec"] = round(
+            args.batch * args.ticks / su / n_dev, 1)
+        print(f"[bench] dynamic-updates pass done in {su:.2f}s",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] dynamic-updates pass failed: {e!r}", file=sys.stderr)
 
     # ---- trajectory quality: drive a goal-REACHABLE fleet to its goals by
     # chaining the SAME compiled executable (identical shapes; zero extra

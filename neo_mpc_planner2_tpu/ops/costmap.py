@@ -123,6 +123,65 @@ class Costmap:
                 jnp.uint8)
         return self.replace(flat=flat, flat_u8=flat_u8)
 
+    def update_window(self, cells: jnp.ndarray, lo) -> "Costmap":
+        """Incremental update: write a (h, w) block of normalized costs whose
+        lower cell corner is lo = (col, row), returning the updated costmap.
+
+        This is the missing deployment piece the reference gets for free from
+        its ROS ecosystem — the live local costmap behind every solve
+        (mpc_optimization_server.py:118 subscribes the costmap topics;
+        NeoMpcPlanner.h:142-144 holds a rolling costmap_ros_). Over a slow
+        host→device link re-staging the whole grid per tick is impossible
+        (~1 MB/s tunnel, 64 KB for a 128² f32 grid vs ~1-4 KB for a dirty
+        window), and even co-located the full re-stage pays a fresh flatten
+        and breaks cross-tick fusion.
+
+        Cache invariant (see `flat`): the cached flat/u8 views are REFRESHED
+        in place with per-row dynamic updates — h tiny row writes instead of
+        the full (H, W) → (H·W,) relayout copy — so downstream samplers keep
+        reading the hoisted views with no staleness and no re-flatten.
+        Rolling-window views update the WORLD map (indices are world-frame
+        cell coordinates, like nav2's updateMap); move the window itself by
+        replacing win_lo. Unbatched (H, W) maps here; batch via vmap, where
+        per-lane `lo` vectors update each lane's own map.
+        """
+        cells = jnp.asarray(cells, self.data.dtype)
+        lo = jnp.asarray(lo, jnp.int32)
+        # Clamp the corner ONCE so the (H, W) write and the flat-view row
+        # writes agree exactly (dynamic_update_slice clamps starts so the
+        # block fits; the flat path must use the same clamped corner, not
+        # re-clamp its 1-D offsets independently).
+        hh, ww = self.data.shape[-2], self.data.shape[-1]
+        col = jnp.clip(lo[..., 0], 0, ww - cells.shape[-1])
+        row = jnp.clip(lo[..., 1], 0, hh - cells.shape[-2])
+        data = jax.lax.dynamic_update_slice(self.data, cells, (row, col))
+        flat = self.flat
+        flat_u8 = self.flat_u8
+        if flat is not None or flat_u8 is not None:
+            w = self.data.shape[-1]
+            cells_u8 = (None if flat_u8 is None else
+                        jnp.round(cells * 255.0).clip(0.0, 255.0)
+                        .astype(jnp.uint8))
+
+            def write_row(i, carry):
+                f, f8 = carry
+                off = (row + i) * w + col
+                if f is not None:
+                    f = jax.lax.dynamic_update_slice(
+                        f, jax.lax.dynamic_index_in_dim(cells, i,
+                                                        keepdims=False),
+                        (off,))
+                if f8 is not None:
+                    f8 = jax.lax.dynamic_update_slice(
+                        f8, jax.lax.dynamic_index_in_dim(cells_u8, i,
+                                                         keepdims=False),
+                        (off,))
+                return f, f8
+
+            flat, flat_u8 = jax.lax.fori_loop(
+                0, cells.shape[0], write_row, (flat, flat_u8))
+        return self.replace(data=data, flat=flat, flat_u8=flat_u8)
+
     @staticmethod
     def create(data, origin=(0.0, 0.0), resolution=0.05) -> "Costmap":
         return Costmap(

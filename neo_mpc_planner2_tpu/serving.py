@@ -78,7 +78,7 @@ import numpy as np
 
 from .config import MpcConfig, config_from_ros_params, default_config
 from .engine import init_state, solve_step
-from .ops.costmap import Costmap
+from .ops.costmap import Costmap, u8_source_enabled
 from .ops.footprint import Footprint
 from .ops.objective import Limits, Scenario, Weights, make_objective
 from .sqp import make_sqp_solver
@@ -155,6 +155,8 @@ class OptimizerSession:
         self._fleet_n = 0
         # Full-tick executable (op_set_plan/op_tick); built lazily.
         self._tick_fn = None
+        # Incremental costmap-update executable (op_set_costmap_update).
+        self._update_fn = None
         # Batched full-tick fleet (op_set_plans/op_tick_batch): positional
         # per-lane plans + lane states, padded like op_optimizer_batch.
         self._ftick_state = None
@@ -367,13 +369,71 @@ class OptimizerSession:
         return {"ok": True, "pipelined": self.pipelined, "retraced": True}
 
     def op_set_costmap(self, msg: dict) -> dict:
-        self.costmap = Costmap.create(
+        """Stage the full costmap grid. Optional rolling-window view:
+        "win_cells": N makes the solver see only the N×N window whose lower
+        cell corner is "win_lo" [col, row] (default [0, 0]) — the zero-copy
+        nav2 rolling local costmap. Incremental updates / window moves then
+        ride op_set_costmap_update without re-sending the grid."""
+        cm = Costmap.create(
             np.asarray(msg["data"], np.float32),
             origin=tuple(msg.get("origin", (0.0, 0.0))),
             resolution=float(msg.get("resolution", 0.05)),
         )
+        h, w = cm.data.shape
+        if "win_cells" in msg:
+            wc = int(msg["win_cells"])
+            lo = np.asarray(msg.get("win_lo", (0, 0)), np.int32)
+            if not (0 < wc <= min(h, w)):
+                return {"error": f"win_cells must be in [1, {min(h, w)}]"}
+            if (lo.shape != (2,) or lo.min() < 0 or lo[0] + wc > w
+                    or lo[1] + wc > h):
+                return {"error": "win_lo puts the window outside the map"}
+            cm = cm.replace(win_lo=jnp.asarray(lo), win_cells=wc)
+        # Hoist the flat (and, per cfg, u8) gather views ONCE at staging so
+        # per-tick executables read them as inputs instead of re-flattening
+        # the grid in-graph every dispatch; update_window refreshes them
+        # incrementally (the cache invariant at ops/costmap.py).
+        self.costmap = cm.with_flat(
+            u8=u8_source_enabled(self.cfg.solver_costmap_u8, h * w))
         self._ensure_footprint_sampling()
-        return {"ok": True, "shape": list(self.costmap.data.shape)}
+        return {"ok": True, "shape": [h, w]}
+
+    def op_set_costmap_update(self, msg: dict) -> dict:
+        """Incremental costmap update: write a dirty window of cells at
+        "lo" [col, row] and/or move the rolling window ("win_lo") — without
+        re-sending the whole grid (the reference's live Costmap2d keeps the
+        map current behind every solve for free, mpc_optimization_server
+        py:118 / NeoMpcPlanner.h:142-144; over this environment's ~1 MB/s
+        tunnel a per-tick full re-stage is impossible). The staged flat/u8
+        gather views refresh in place, so tick executables never retrace."""
+        if self.costmap is None:
+            return {"error": "no costmap set"}
+        cm = self.costmap
+        h, w = cm.data.shape
+        if "data" in msg:
+            cells = np.asarray(msg["data"], np.float32)
+            lo = np.asarray(msg.get("lo", (0, 0)), np.int32)
+            if cells.ndim != 2 or cells.size == 0:
+                return {"error": "update data must be a non-empty 2-D block"}
+            if (lo.shape != (2,) or lo.min() < 0 or lo[0] + cells.shape[1] > w
+                    or lo[1] + cells.shape[0] > h):
+                return {"error": "update window outside the map"}
+            if self._update_fn is None:
+                self._update_fn = jax.jit(
+                    lambda c, b, l: c.update_window(b, l))
+            cm = self._update_fn(cm, jnp.asarray(cells), jnp.asarray(lo))
+        if "win_lo" in msg:
+            if cm.win_cells is None:
+                return {"error": "no rolling window configured "
+                                 "(set_costmap with win_cells first)"}
+            lo = np.asarray(msg["win_lo"], np.int32)
+            wc = cm.win_cells
+            if (lo.shape != (2,) or lo.min() < 0 or lo[0] + wc > w
+                    or lo[1] + wc > h):
+                return {"error": "win_lo puts the window outside the map"}
+            cm = cm.replace(win_lo=jnp.asarray(lo))
+        self.costmap = cm
+        return {"ok": True}
 
     def op_set_footprint(self, msg: dict) -> dict:
         self.footprint = Footprint.create(

@@ -150,7 +150,9 @@ def batch_simulate(cfg: MpcConfig, scenario_batch, n_ticks: int,
                    window_cells: int | None = None,
                    window_view: bool = True,
                    dynamic_obstacles=None,
-                   obstacle_lethal_threshold: float | None = None
+                   obstacle_lethal_threshold: float | None = None,
+                   costmap_updates=None,
+                   update_cells: int = 16,
                    ) -> SimResult:
     """Closed-loop sim over a ScenarioBatch (scenarios.py), batch-first.
 
@@ -184,6 +186,19 @@ def batch_simulate(cfg: MpcConfig, scenario_batch, n_ticks: int,
     blob cells above it to exactly 1.0. Mutually exclusive with
     window_cells; the tick clock restarts at 0 per call, so don't chain
     dynamic runs through `init` expecting obstacle continuity.
+
+    costmap_updates: optional (centers (B, 2), amp (B,), vel (B, 2)) — the
+    INCREMENTAL-update dynamic regime (round-3 verdict item 2): instead of
+    re-synthesizing the whole grid per tick, each lane's map receives one
+    (update_cells,)² dirty-window write per tick (Costmap.update_window)
+    covering its moving obstacle — the window contents are max(static base,
+    moving blob), i.e. what a sensor pipeline would publish for that patch.
+    The map state is carried across ticks with its hoisted flat/u8 views
+    refreshed in place, so the engine pays only the dirty write, not a full
+    re-flatten — this is the deployment pattern of nav2's live local costmap
+    (the reference's Costmap2d subscription, py:118). Composes with
+    window_cells (zero-copy view over the carried, updated world map);
+    mutually exclusive with dynamic_obstacles.
     """
     from .engine import make_batched_controller_step
 
@@ -207,10 +222,23 @@ def batch_simulate(cfg: MpcConfig, scenario_batch, n_ticks: int,
         if window_cells is not None:
             raise ValueError(
                 "dynamic_obstacles and window_cells are mutually exclusive")
+        if costmap_updates is not None:
+            raise ValueError(
+                "dynamic_obstacles and costmap_updates are mutually exclusive")
         h, w = sb.costmap.data.shape[-2], sb.costmap.data.shape[-1]
         if h != w:
             raise ValueError("dynamic_obstacles needs a square grid")
         dyn_centers, dyn_amp, dyn_vel = dynamic_obstacles
+    if costmap_updates is not None:
+        if window_cells is not None and not window_view:
+            raise ValueError("costmap_updates needs the zero-copy window "
+                             "view (window_view=True)")
+        upd_c, upd_a, upd_v = costmap_updates
+        U = int(update_cells)
+        H_m, W_m = costmap.data.shape[-2], costmap.data.shape[-1]
+        if U > min(H_m, W_m):
+            raise ValueError("update_cells exceeds the map")
+        base_data = costmap.data  # static base belief (never mutated)
     batch = sb.robot_pose.shape[0]
     dt = jnp.float32(cfg.control_interval)
     dts = jnp.full((batch,), dt)
@@ -225,36 +253,83 @@ def batch_simulate(cfg: MpcConfig, scenario_batch, n_ticks: int,
         state0, pose0, vel0 = init
 
     def tick(carry, t):
-        state, pose, vel = carry
-        if dynamic_obstacles is not None:
-            from .scenarios import blob_maps
-            ct = dyn_centers + (t.astype(jnp.float32) * dt)[..., None,
-                                                            None] * dyn_vel
-            data = blob_maps(ct, dyn_amp, sb.costmap.data.shape[-1],
-                             sb.costmap.resolution[0],
-                             obstacle_lethal_threshold,
-                             origin=sb.costmap.origin)
-            cm = Costmap(data=data, origin=sb.costmap.origin,
-                         resolution=sb.costmap.resolution).with_flat(u8=u8)
-        elif window_cells is None:
-            cm = costmap
-        elif window_view:
-            cm = jax.vmap(rolling_view, in_axes=(0, 0, None))(
-                costmap, pose, window_cells)
+        if costmap_updates is not None:
+            state, pose, vel, cm_carry = carry
+            # One dirty-window write per lane: repaint the (U, U) patch
+            # around the obstacle's CURRENT center with max(static base,
+            # blob) — a sensor pipeline's belief for that patch. The hoisted
+            # flat/u8 views refresh in place inside update_window.
+            ct = upd_c + (t.astype(jnp.float32) * dt)[..., None] * upd_v
+            res = cm_carry.resolution          # (B,)
+            ox = cm_carry.origin[:, 0]
+            oy = cm_carry.origin[:, 1]
+            cx = jnp.clip(jnp.int32(jnp.floor((ct[:, 0] - ox) / res)) - U // 2,
+                          0, W_m - U)
+            cy = jnp.clip(jnp.int32(jnp.floor((ct[:, 1] - oy) / res)) - U // 2,
+                          0, H_m - U)
+            idx = jnp.arange(U, dtype=jnp.float32)
+            wxs = (ox[:, None] + (cx[:, None].astype(jnp.float32) + idx)
+                   * res[:, None] + res[:, None] / 2)        # (B, U)
+            wys = (oy[:, None] + (cy[:, None].astype(jnp.float32) + idx)
+                   * res[:, None] + res[:, None] / 2)
+            d2 = ((wxs[:, None, :] - ct[:, 0, None, None]) ** 2
+                  + (wys[:, :, None] - ct[:, 1, None, None]) ** 2)  # (B, U, U)
+            blob = jnp.clip(upd_a[:, None, None]
+                            * jnp.exp(-d2 / (2 * 0.08)), 0.0, 1.0)
+            base_win = jax.vmap(
+                lambda d, y, x: jax.lax.dynamic_slice(d, (y, x), (U, U)))(
+                base_data, cy, cx)
+            val = jnp.maximum(base_win, blob)
+            if obstacle_lethal_threshold is not None:
+                val = jnp.where(val > obstacle_lethal_threshold, 1.0, val)
+            cm_carry = jax.vmap(lambda c, b, l: c.update_window(b, l))(
+                cm_carry, val, jnp.stack([cx, cy], axis=-1))
+            if window_cells is None:
+                cm = cm_carry
+            else:
+                cm = jax.vmap(rolling_view, in_axes=(0, 0, None))(
+                    cm_carry, pose, window_cells)
         else:
-            cm = jax.vmap(rolling_window, in_axes=(0, 0, None))(
-                costmap, pose, window_cells).with_flat(u8=u8)
+            state, pose, vel = carry
+            if dynamic_obstacles is not None:
+                from .scenarios import blob_maps
+                ct = dyn_centers + (t.astype(jnp.float32) * dt)[..., None,
+                                                                None] * dyn_vel
+                data = blob_maps(ct, dyn_amp, sb.costmap.data.shape[-1],
+                                 sb.costmap.resolution[0],
+                                 obstacle_lethal_threshold,
+                                 origin=sb.costmap.origin)
+                cm = Costmap(data=data, origin=sb.costmap.origin,
+                             resolution=sb.costmap.resolution).with_flat(u8=u8)
+            elif window_cells is None:
+                cm = costmap
+            elif window_view:
+                cm = jax.vmap(rolling_view, in_axes=(0, 0, None))(
+                    costmap, pose, window_cells)
+            else:
+                cm = jax.vmap(rolling_window, in_axes=(0, 0, None))(
+                    costmap, pose, window_cells).with_flat(u8=u8)
         out = step(state, sb.plan, pose, vel, cm, sb.footprint, dts)
         cmd = out.cmd_vel
         new_pose = jax.vmap(lambda c, p: rollout(c[None, :], dt, p)[0])(cmd, pose)
         gd = jnp.linalg.norm(new_pose[:, :2] - goals[:, :2], axis=-1)
-        return (out.state, new_pose, cmd), (new_pose, cmd, out.collision,
-                                            out.lethal, gd,
-                                            out.solver_converged,
-                                            out.solver_iters)
+        new_carry = ((out.state, new_pose, cmd, cm_carry)
+                     if costmap_updates is not None
+                     else (out.state, new_pose, cmd))
+        return new_carry, (new_pose, cmd, out.collision,
+                           out.lethal, gd,
+                           out.solver_converged,
+                           out.solver_iters)
 
-    (fin_state, _, _), outs = jax.lax.scan(
-        tick, (state0, pose0, vel0), jnp.arange(n_ticks))
+    if costmap_updates is not None:
+        # The carried world map: broadcast shared origin/resolution shapes to
+        # per-lane if needed is already the ScenarioBatch layout; carry the
+        # hoisted-flat map so updates refresh it in place across ticks.
+        init_carry = (state0, pose0, vel0, costmap)
+    else:
+        init_carry = (state0, pose0, vel0)
+    fin, outs = jax.lax.scan(tick, init_carry, jnp.arange(n_ticks))
+    fin_state = fin[0]
     # scan stacks time first: (T, B, ...) -> (B, T, ...).
     poses, cmds, cols, lethal, gd, conv, iters = jax.tree.map(
         lambda a: jnp.moveaxis(a, 0, 1), outs)

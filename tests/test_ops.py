@@ -235,3 +235,128 @@ class TestCostmapFlatView:
             mpc.Costmap(data=cm.data, origin=cm.origin,
                         resolution=cm.resolution), wx, wy)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+class TestUpdateWindow:
+    """Costmap.update_window — the incremental (dirty-window) update path the
+    reference inherits from its live ROS costmap (round-3 verdict item 2)."""
+
+    def _rand_cm(self, seed=11, shape=(48, 64), flat=False, u8=False):
+        rng = np.random.default_rng(seed)
+        data = rng.uniform(0, 0.9, shape).astype(np.float32)
+        cm = mpc.Costmap.create(data, origin=(-1.0, -1.0), resolution=0.05)
+        if flat or u8:
+            cm = cm.with_flat(u8=u8)
+        return cm, data
+
+    def test_update_matches_numpy(self):
+        cm, data = self._rand_cm()
+        rng = np.random.default_rng(12)
+        block = rng.uniform(0, 1, (6, 9)).astype(np.float32)
+        out = cm.update_window(jnp.asarray(block), (17, 30))
+        want = data.copy()
+        want[30:36, 17:26] = block
+        np.testing.assert_array_equal(np.asarray(out.data), want)
+        # Origin/resolution untouched; source map not mutated (functional).
+        np.testing.assert_array_equal(np.asarray(cm.data), data)
+
+    def test_flat_and_u8_views_refresh(self):
+        """The cache invariant (ops/costmap.py flat docstring): an update on a
+        flattened costmap must refresh flat AND flat_u8 in place so hoisted
+        samplers never serve stale costs — bit-identically to a fresh map."""
+        from neo_mpc_planner2_tpu.ops.costmap import (cost_at_world,
+                                                      make_point_sampler)
+
+        rng = np.random.default_rng(13)
+        raw = rng.integers(0, 256, (48, 64)).astype(np.uint8)
+        cm = mpc.Costmap.from_nav2_costmap(raw, origin=(-1.0, -1.0),
+                                           resolution=0.05).with_flat(u8=True)
+        block_raw = rng.integers(0, 256, (8, 8)).astype(np.uint8)
+        block_raw[2:4, 3:5] = 255  # lethal cells must survive the u8 refresh
+        block = block_raw.astype(np.float32) / 255.0
+        out = cm.update_window(jnp.asarray(block), (20, 10))
+
+        fresh_raw = raw.copy()
+        fresh_raw[10:18, 20:28] = block_raw
+        fresh = mpc.Costmap.from_nav2_costmap(
+            fresh_raw, origin=(-1.0, -1.0), resolution=0.05).with_flat(u8=True)
+
+        np.testing.assert_array_equal(np.asarray(out.flat),
+                                      np.asarray(fresh.flat))
+        np.testing.assert_array_equal(np.asarray(out.flat_u8),
+                                      np.asarray(fresh.flat_u8))
+        wx = jnp.asarray(rng.uniform(-1.2, 2.4, 128), jnp.float32)
+        wy = jnp.asarray(rng.uniform(-1.2, 1.6, 128), jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(cost_at_world(out, wx, wy)),
+            np.asarray(cost_at_world(fresh, wx, wy)))
+        # The u8 gather source (solver hot path) also reads the new block.
+        s_out = make_point_sampler(out, wx[0], wy[0], 0)
+        s_fresh = make_point_sampler(fresh, wx[0], wy[0], 0)
+        np.testing.assert_array_equal(np.asarray(s_out(wx, wy)),
+                                      np.asarray(s_fresh(wx, wy)))
+
+    def test_vmapped_per_lane(self):
+        rng = np.random.default_rng(14)
+        data = rng.uniform(0, 1, (4, 32, 32)).astype(np.float32)
+        cm = mpc.Costmap(data=jnp.asarray(data),
+                         origin=jnp.tile(jnp.asarray([-1.0, -1.0]), (4, 1)),
+                         resolution=jnp.full((4,), 0.05))
+        blocks = rng.uniform(0, 1, (4, 5, 5)).astype(np.float32)
+        los = np.array([[0, 0], [10, 3], [27, 27], [5, 20]], np.int32)
+        out = jax.vmap(lambda c, b, l: c.update_window(b, l))(
+            cm, jnp.asarray(blocks), jnp.asarray(los))
+        for i in range(4):
+            want = data[i].copy()
+            want[los[i, 1]:los[i, 1] + 5, los[i, 0]:los[i, 0] + 5] = blocks[i]
+            np.testing.assert_array_equal(np.asarray(out.data[i]), want)
+
+    def test_corner_clamped_consistently(self):
+        """An out-of-range corner clamps so the block fits — and the flat view
+        gets the SAME clamped corner (a divergent clamp between the 2-D write
+        and the flat row writes would silently desync the cached view)."""
+        cm, data = self._rand_cm(flat=True)
+        block = np.full((4, 4), 0.5, np.float32)
+        out = cm.update_window(jnp.asarray(block), (62, 46))  # 62+4>64, 46+4>48
+        want = data.copy()
+        want[44:48, 60:64] = block
+        np.testing.assert_array_equal(np.asarray(out.data), want)
+        np.testing.assert_array_equal(np.asarray(out.flat), want.reshape(-1))
+
+    def test_rolling_view_update(self):
+        """Updates compose with the zero-copy rolling window: world cells
+        update in place, the window moves by replacing win_lo, and samples
+        match a freshly-built view of the same world."""
+        from neo_mpc_planner2_tpu.ops.costmap import cost_at_world
+        from neo_mpc_planner2_tpu.simulation import rolling_view
+
+        rng = np.random.default_rng(15)
+        world_data = rng.uniform(0, 0.9, (128, 128)).astype(np.float32)
+        world = mpc.Costmap.create(world_data, origin=(-3.2, -3.2),
+                                   resolution=0.05).with_flat()
+        view = rolling_view(world, jnp.asarray([0.0, 0.0, 0.0]), 64)
+        block = rng.uniform(0, 1, (6, 6)).astype(np.float32)
+        upd = view.update_window(jnp.asarray(block), (70, 66))
+        moved = rolling_view(upd, jnp.asarray([0.35, -0.2, 0.0]), 64)
+
+        fresh_world = world_data.copy()
+        fresh_world[66:72, 70:76] = block
+        fresh = rolling_view(
+            mpc.Costmap.create(fresh_world, origin=(-3.2, -3.2),
+                               resolution=0.05).with_flat(),
+            jnp.asarray([0.35, -0.2, 0.0]), 64)
+        wx = jnp.asarray(rng.uniform(-3.5, 3.5, 256), jnp.float32)
+        wy = jnp.asarray(rng.uniform(-3.5, 3.5, 256), jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(cost_at_world(moved, wx, wy)),
+            np.asarray(cost_at_world(fresh, wx, wy)))
+
+    def test_update_under_jit(self):
+        cm, data = self._rand_cm(flat=True)
+        f = jax.jit(lambda c, b, l: c.update_window(b, l))
+        block = np.full((3, 3), 0.25, np.float32)
+        out = f(cm, jnp.asarray(block), jnp.asarray([5, 7], jnp.int32))
+        want = data.copy()
+        want[7:10, 5:8] = block
+        np.testing.assert_array_equal(np.asarray(out.data), want)
+        np.testing.assert_array_equal(np.asarray(out.flat), want.reshape(-1))

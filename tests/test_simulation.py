@@ -372,3 +372,76 @@ def test_u8_auto_resolves_by_map_size(sim_cfg):
     # 64² map: auto resolves to the f32 source — identical program.
     np.testing.assert_array_equal(np.asarray(run_auto.cmds),
                                   np.asarray(run_off.cmds))
+
+
+class TestCostmapUpdateRegime:
+    """batch_simulate(costmap_updates=...) — the incremental dirty-window
+    dynamic regime (round-3 verdict item 2)."""
+
+    def _sb(self, cfg, batch=3, map_size=48):
+        from neo_mpc_planner2_tpu.scenarios import make_scenario_batch
+        return make_scenario_batch(cfg, batch, seed=42, map_size=map_size,
+                                   plan_points=24,
+                                   plan_length_range=(0.7, 1.0))
+
+    def test_zero_amp_updates_match_static(self, cfg):
+        """Updates that repaint the static base (amp=0 blob) must leave the
+        closed loop numerically identical to the plain static run — the
+        update plumbing (carried map, flat refresh) adds no value drift."""
+        from neo_mpc_planner2_tpu.simulation import batch_simulate
+        sb = self._sb(cfg)
+        B = sb.robot_pose.shape[0]
+        static = batch_simulate(cfg, sb, 5)
+        upd = batch_simulate(
+            cfg, sb, 5,
+            costmap_updates=(jnp.zeros((B, 2)), jnp.zeros((B,)),
+                             jnp.zeros((B, 2))),
+            update_cells=12)
+        np.testing.assert_allclose(np.asarray(upd.cmds),
+                                   np.asarray(static.cmds), atol=1e-6)
+
+    def test_painted_obstacle_latches_collision(self, cfg):
+        """A lethal obstacle painted INTO the map via per-tick updates (not
+        present in the staged base) must latch the predicted-collision stop —
+        the live-costmap semantics the reference's subscription provides."""
+        from neo_mpc_planner2_tpu.simulation import batch_simulate
+        sb = self._sb(cfg)
+        B = sb.robot_pose.shape[0]
+        # Obstacle painted ON the robot start (plans start at the origin):
+        # the update stream writes lethal cells under the footprint, so a
+        # safety gate (plugin lethal throw or collision_footprint zeroing)
+        # must fire — proving the per-tick dirty-window writes actually reach
+        # the engine's hoisted samplers.
+        centers = jnp.tile(jnp.asarray([[0.0, 0.0]], jnp.float32), (B, 1))
+        amp = jnp.full((B,), 1.0)
+        vel = jnp.zeros((B, 2))
+        static = batch_simulate(cfg, sb, 5)
+        upd = batch_simulate(cfg, sb, 5,
+                             costmap_updates=(centers, amp, vel),
+                             update_cells=12,
+                             obstacle_lethal_threshold=0.5)
+        assert not bool(np.asarray(static.collisions).any())
+        assert not bool(np.asarray(static.lethal).any())
+        blocked = np.asarray(upd.lethal) | np.asarray(upd.collisions)
+        assert bool(blocked.all(axis=0)[1:].all()), blocked
+        # Gated ticks command zero.
+        cmds = np.asarray(upd.cmds)
+        np.testing.assert_array_equal(cmds[blocked],
+                                      np.zeros((int(blocked.sum()), 3)))
+
+    def test_updates_compose_with_rolling_view(self, cfg):
+        """Updates + zero-copy rolling window = the full deployment shape:
+        world map carried and updated, window following the robot."""
+        from neo_mpc_planner2_tpu.simulation import batch_simulate
+        from neo_mpc_planner2_tpu.scenarios import make_scenario_batch
+        sb = make_scenario_batch(cfg, 2, seed=43, map_size=96,
+                                 plan_points=24, plan_length_range=(0.7, 1.0))
+        B = 2
+        static = batch_simulate(cfg, sb, 4, window_cells=48)
+        upd = batch_simulate(
+            cfg, sb, 4, window_cells=48,
+            costmap_updates=(jnp.zeros((B, 2)), jnp.zeros((B,)),
+                             jnp.zeros((B, 2))),
+            update_cells=12)
+        np.testing.assert_allclose(np.asarray(upd.cmds),
+                                   np.asarray(static.cmds), atol=1e-6)

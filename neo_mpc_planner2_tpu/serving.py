@@ -240,6 +240,40 @@ class OptimizerSession:
             slot["pending"] = None
         self._fleet_pending = None
 
+    def _fleet_pad(self, n: int) -> int:
+        """Lane count for an n-robot fleet: next power of two >= max(4, n)
+        (fleet-size churn reuses the executable), rounded up to a multiple of
+        the visible device count so the sharded fleet path tiles the mesh."""
+        pad = 4
+        while pad < n:
+            pad *= 2
+        nd = jax.device_count()
+        if pad % nd:
+            pad = -(-pad // nd) * nd
+        return pad
+
+    @staticmethod
+    def _fleet_jit(fn, sharded_args: int, total_args: int):
+        """Compile a fleet-batched fn with the lane axis sharded over every
+        visible device (round-3 verdict item 4: fleet ticks previously ran on
+        ONE device no matter how many were visible). shard_map over a 1-D
+        ('fleet',) mesh: each device runs the identical vmapped per-lane
+        program on its local lanes — MPC lanes are independent, so no
+        collective is introduced and per-lane results match the single-device
+        path. The first `sharded_args` operands carry the lane axis; the rest
+        (shared costmap/footprint/weights/limits) are replicated. On one
+        device this is a plain jit."""
+        n_dev = jax.device_count()
+        if n_dev <= 1:
+            return jax.jit(fn)
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        mesh = Mesh(np.asarray(jax.devices()), ("fleet",))
+        ax, rep = P("fleet"), P()
+        specs = (ax,) * sharded_args + (rep,) * (total_args - sharded_args)
+        return jax.jit(jax.shard_map(fn, mesh=mesh, in_specs=specs,
+                                     out_specs=(ax, ax), check_vma=False))
+
     # Request vector layout (one host->device put per tick instead of seven —
     # through a network tunnel each separate transfer pays a full RTT):
     # [pose(3), carrot(3), goal(3), vel(3), switch_opt, control_interval,
@@ -299,7 +333,9 @@ class OptimizerSession:
                 lambda st1, rq: one_req(st1, rq, costmap, footprint,
                                         weights, limits))(state, reqs)
 
-        self._fleet_step = jax.jit(fleet_step)
+        # Fleet lanes shard over every visible device (shard_map; plain
+        # jit on one device) — the serving x sharding composition.
+        self._fleet_step = self._fleet_jit(fleet_step, 2, 6)
         self._tick_fn = None  # full-tick executables follow cfg; rebuild lazily
         self._tick_batch_fn = None
         # Weights/limits always travel as traced pytrees so runtime parameter
@@ -519,8 +555,9 @@ class OptimizerSession:
 
     def op_load_state(self, msg: dict) -> dict:
         """Restore a save_state checkpoint. Fleet restores adopt the stored
-        pad and robot count ({"robots": n} overrides the latter, clamped to
-        [0, pad]); shapes must match the current control_steps."""
+        lane pad (re-padded to a device multiple when the mesh changed);
+        {"robots": n} sets the live robot count (default: every lane),
+        clamped to [0, pad]. Shapes must match the current control_steps."""
         from .checkpoint import load_state
 
         path = self._checkpoint_path(msg)
@@ -528,8 +565,20 @@ class OptimizerSession:
             st = load_state(path, template=self._fleet_state)
             if int(st.initial_guess.shape[-1]) != 3 * self.cfg.control_steps:
                 return {"error": "checkpoint control_steps mismatch"}
-            self._fleet_state = st
             pad = int(st.initial_guess.shape[0])
+            nd = jax.device_count()
+            if pad % nd:
+                # The sharded fleet path tiles lanes over the mesh; a
+                # checkpoint saved under a different device count must be
+                # re-padded to tile. Grow with init_state lanes (they are
+                # recomputed from scratch on the next tick anyway).
+                new_pad = self._fleet_pad(pad)
+                fresh = jax.tree.map(
+                    lambda x: jnp.broadcast_to(x, (new_pad,) + x.shape),
+                    init_state(self.cfg))
+                st = jax.tree.map(lambda f, o: f.at[:pad].set(o), fresh, st)
+                pad = new_pad
+            self._fleet_state = st
             self._fleet_n = max(0, min(int(msg.get("robots", pad)), pad))
             self._fleet_pending = None
             return {"ok": True, "fleet": True, "lanes": pad,
@@ -730,9 +779,7 @@ class OptimizerSession:
             built.append(Plan.create(poses,
                                      max_points=self.cfg.max_plan_points))
         n = len(built)
-        pad = 4
-        while pad < n:
-            pad *= 2
+        pad = self._fleet_pad(n)
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
                                *(built + [built[0]] * (pad - n)))
         new_goals = np.stack([np.asarray(b.goal()) for b in built])
@@ -784,7 +831,7 @@ class OptimizerSession:
 
             return jax.vmap(one)(state, plans, reqs)
 
-        self._tick_batch_fn = jax.jit(fn)
+        self._tick_batch_fn = self._fleet_jit(fn, 3, 5)
 
     def op_tick_batch(self, msg: dict) -> dict:
         """Batched full-tick fleet: {"op": "tick_batch", "robots":
@@ -867,11 +914,10 @@ class OptimizerSession:
         n = len(robots)
         if n == 0:
             return {"error": "empty robots list"}
-        # Pad the batch to a power of two (min 4): fleet-size churn then reuses
-        # the compiled executable instead of retracing per size.
-        pad = 4
-        while pad < n:
-            pad *= 2
+        # Pad the batch to a power of two (min 4, device-count multiple):
+        # fleet-size churn then reuses the compiled executable instead of
+        # retracing per size, and the lanes tile the device mesh.
+        pad = self._fleet_pad(n)
         if (self._fleet_state is None
                 or int(self._fleet_state.initial_guess.shape[0]) != pad):
             self._resize_fleet(pad)

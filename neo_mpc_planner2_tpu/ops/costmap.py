@@ -184,6 +184,13 @@ class Costmap:
 
     @staticmethod
     def create(data, origin=(0.0, 0.0), resolution=0.05) -> "Costmap":
+        # Guard concrete (host-side) resolutions: zero/negative would turn
+        # every world_to_map into garbage indices (nav2 asserts the same
+        # invariant at map creation). Traced/array resolutions (batched maps
+        # built under vmap) pass through — the host constructors are the
+        # validation boundary.
+        if isinstance(resolution, (int, float)) and resolution <= 0:
+            raise ValueError(f"resolution must be positive: {resolution}")
         return Costmap(
             data=jnp.asarray(data, jnp.float32),
             origin=jnp.asarray(origin, jnp.float32),

@@ -72,6 +72,11 @@ class Plan:
     def create(poses, max_points: int = 128) -> "Plan":
         p = jnp.asarray(poses, jnp.float32)
         n = p.shape[0]
+        if n == 0:
+            # The reference throws "Received plan with zero length" from the
+            # plugin (controller.py mirrors it); creating an empty Plan
+            # directly is a caller bug — fail with the same clarity.
+            raise ValueError("plan has zero length")
         if n > max_points:
             raise ValueError(f"plan has {n} poses > max {max_points}")
         pad = jnp.zeros((max_points - n, 3), jnp.float32) + p[-1]

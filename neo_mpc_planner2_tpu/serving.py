@@ -410,8 +410,15 @@ class OptimizerSession:
         cell corner is "win_lo" [col, row] (default [0, 0]) — the zero-copy
         nav2 rolling local costmap. Incremental updates / window moves then
         ride op_set_costmap_update without re-sending the grid."""
+        data = np.asarray(msg["data"], np.float32)
+        if data.ndim != 2 or data.size == 0:
+            return {"error": "costmap data must be a non-empty 2-D grid"}
+        if not np.isfinite(data).all():
+            # NaN/Inf policy (wire boundary): REJECT — a non-finite cell
+            # would silently poison every objective it is gathered into.
+            return {"error": "costmap data contains non-finite values"}
         cm = Costmap.create(
-            np.asarray(msg["data"], np.float32),
+            data,
             origin=tuple(msg.get("origin", (0.0, 0.0))),
             resolution=float(msg.get("resolution", 0.05)),
         )
@@ -472,9 +479,13 @@ class OptimizerSession:
         return {"ok": True}
 
     def op_set_footprint(self, msg: dict) -> dict:
+        pts = np.asarray(msg["points"], np.float32)
+        if pts.ndim != 2 or pts.shape[0] < 1 or pts.shape[1] != 2:
+            return {"error": "footprint points must be a non-empty (V, 2) list"}
+        if not np.isfinite(pts).all():
+            return {"error": "footprint contains non-finite values"}
         self.footprint = Footprint.create(
-            np.asarray(msg["points"], np.float32),
-            max_vertices=self.cfg.max_footprint_vertices,
+            pts, max_vertices=self.cfg.max_footprint_vertices,
         )
         self._ensure_footprint_sampling()
         return {"ok": True}
@@ -601,6 +612,11 @@ class OptimizerSession:
         req[13] = float(msg.get("control_interval",
                                 self.cfg.control_interval))
         req[14] = float(delta_t)
+        if not np.isfinite(req).all():
+            # NaN/Inf policy (wire boundary): reject rather than let a bad
+            # pose poison the persistent warm-start state for every later
+            # tick (handle() converts this to an error response).
+            raise ValueError("request contains non-finite values")
         return req
 
     def _resp_from_vec(self, vec: np.ndarray, lp_off: int = 8) -> dict:

@@ -153,6 +153,7 @@ def batch_simulate(cfg: MpcConfig, scenario_batch, n_ticks: int,
                    obstacle_lethal_threshold: float | None = None,
                    costmap_updates=None,
                    update_cells: int = 16,
+                   solver_batch=None,
                    ) -> SimResult:
     """Closed-loop sim over a ScenarioBatch (scenarios.py), batch-first.
 
@@ -203,7 +204,11 @@ def batch_simulate(cfg: MpcConfig, scenario_batch, n_ticks: int,
     from .engine import make_batched_controller_step
 
     sb = scenario_batch
-    step = make_batched_controller_step(cfg, parity=parity)
+    # solver_batch: optional batched solver override (e.g. the prox-FISTA
+    # product path, jax.vmap(solver.make_solver(...))) — forwarded to
+    # make_batched_controller_step; None keeps the parity SQP.
+    step = make_batched_controller_step(cfg, parity=parity,
+                                        solver_batch=solver_batch)
     # The map is fixed for the whole run: materialize the flat view ONCE
     # outside the tick scan (inside, XLA re-runs the relayout every tick —
     # a 64 MB copy per tick at batch 4096; round-3 trace).

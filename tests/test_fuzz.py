@@ -114,3 +114,139 @@ def test_rolling_view_fuzz(seed):
             np.asarray(line_cost_exact(win, wx[:16], wy[:16],
                                        wx[16:32], wy[16:32])),
             err_msg=f"line_cost_exact H={H} W={W} cells={cells}")
+
+
+# ---- round-4 fuzz widening (VERDICT item 8): CompatConfig combinations,
+# degenerate footprints, plan-length boundaries, resolution guards, and the
+# NaN/Inf input policy (serving rejects at the wire boundary; the library is
+# GIGO-but-never-crashes).
+
+def _tick_once(cfg, fp, pose=None):
+    eng = mpc.MpcEngine(cfg)
+    cm = mpc.Costmap.create(np.zeros((40, 40)), origin=(-1.0, -1.0),
+                            resolution=0.05)
+    plan = mpc.Plan.create([[0, 0, 0], [0.4, 0.05, 0.1], [0.8, 0.1, 0.2]],
+                           max_points=cfg.max_plan_points)
+    pose = jnp.asarray([0.0, 0.0, 0.0] if pose is None else pose, jnp.float32)
+    return eng.step(eng.init_state(), plan, pose,
+                    jnp.asarray([0.2, 0.0, 0.0]), cm, fp, 1 / 30)
+
+
+@pytest.mark.parametrize("seed", [10, 11, 12, 13])
+def test_compat_flag_combinations(seed):
+    """Random CompatConfig subsets: every combination must produce finite,
+    bounds-respecting commands through the full tick."""
+    import dataclasses
+    rng = np.random.default_rng(seed)
+    base = mpc.default_config().replace(
+        max_plan_points=16, w_trans=0.82, w_orient=0.5, w_control=0.05,
+        w_terminal=0.05, w_costmap=0.5, w_footprint=100.0,
+        min_vel_x=-0.7, min_vel_y=-0.7, min_vel_theta=-0.7,
+        max_vel_x=0.7, max_vel_y=0.7, max_vel_trans=0.7, max_vel_theta=0.7)
+    flags = {f.name: bool(rng.integers(0, 2))
+             for f in dataclasses.fields(type(base.compat))}
+    cfg = base.replace(compat=dataclasses.replace(base.compat, **flags))
+    out = _tick_once(cfg, mpc.Footprint.rectangle(0.6, 0.4))
+    cmd = np.asarray(out.cmd_vel)
+    assert np.all(np.isfinite(cmd)), (flags, cmd)
+    assert np.linalg.norm(cmd[:2]) <= cfg.max_vel_trans + 1e-5, (flags, cmd)
+    assert abs(cmd[2]) <= cfg.max_vel_theta + 1e-5, (flags, cmd)
+
+
+@pytest.mark.parametrize("verts", [
+    [[0.3, 0.0], [0.0, 0.0], [-0.3, 0.0]],          # collinear (zero area)
+    [[0.3, 0.2], [0.3, 0.2], [-0.3, -0.2], [-0.3, -0.2]],  # duplicates
+    [[0.2, 0.1], [-0.2, 0.1]],                       # 2-vertex "polygon"
+    [[0.15, 0.05]],                                  # single vertex
+])
+def test_degenerate_footprints(verts):
+    """Collinear/duplicate/underfilled polygons (zero-length edges) must not
+    crash or emit non-finite costs anywhere in the tick."""
+    cfg = mpc.default_config().replace(max_plan_points=16, w_footprint=100.0,
+                                       w_trans=0.82, w_control=0.05)
+    fp = mpc.Footprint.create(verts, max_vertices=8)
+    out = _tick_once(cfg, fp)
+    assert np.all(np.isfinite(np.asarray(out.cmd_vel)))
+    # The exact edge walk handles zero-length edges too.
+    cfg_exact = cfg.replace(footprint_exact=True)
+    out = _tick_once(cfg_exact, fp)
+    assert np.all(np.isfinite(np.asarray(out.cmd_vel)))
+
+
+def test_plan_length_boundaries():
+    cfg = mpc.default_config().replace(max_plan_points=8)
+    pts = np.cumsum(np.full((8, 3), 0.05), axis=0)
+    plan = mpc.Plan.create(pts, max_points=8)    # exactly max: fine
+    assert int(plan.n_valid) == 8
+    with pytest.raises(ValueError, match="> max"):
+        mpc.Plan.create(np.zeros((9, 3)), max_points=8)
+    with pytest.raises(ValueError, match="zero length"):
+        mpc.Plan.create(np.zeros((0, 3)), max_points=8)
+
+
+def test_costmap_resolution_guard():
+    for bad in (0.0, -0.05):
+        with pytest.raises(ValueError, match="resolution"):
+            mpc.Costmap.create(np.zeros((4, 4)), resolution=bad)
+
+
+def test_serving_rejects_nonfinite_and_bad_geometry():
+    """Wire-boundary NaN/Inf policy: reject explicitly (a non-finite cell or
+    pose would silently poison the persistent warm-start state)."""
+    from neo_mpc_planner2_tpu.serving import OptimizerSession
+    s = OptimizerSession(mpc.default_config())
+    bad_map = np.zeros((8, 8)); bad_map[2, 2] = np.nan
+    assert "error" in s.handle({"op": "set_costmap",
+                                "data": bad_map.tolist()})
+    assert "error" in s.handle({"op": "set_costmap",
+                                "data": np.zeros((8, 8)).tolist(),
+                                "resolution": 0.0})
+    assert "error" in s.handle({"op": "set_footprint",
+                                "points": [[np.inf, 0.0], [0, 0], [1, 1]]})
+    # Stage valid geometry, then a NaN pose in the hot op.
+    s.handle({"op": "set_costmap", "data": np.zeros((40, 40)).tolist(),
+              "origin": [-1, -1], "resolution": 0.05})
+    s.handle({"op": "set_footprint",
+              "points": [[0.3, 0.2], [-0.3, 0.2], [-0.3, -0.2], [0.3, -0.2]]})
+    r = s.handle({"op": "optimizer", "current_pose": [np.nan, 0, 0],
+                  "carrot_pose": [0.4, 0, 0], "goal_pose": [1, 0, 0],
+                  "current_vel": [0, 0, 0], "delta_t": 0.033})
+    assert "error" in r
+    # The rejected request must not have corrupted the slot: a clean request
+    # right after still succeeds.
+    ok = s.handle({"op": "optimizer", "current_pose": [0, 0, 0],
+                   "carrot_pose": [0.4, 0, 0], "goal_pose": [1, 0, 0],
+                   "current_vel": [0.2, 0, 0], "delta_t": 0.033})
+    assert "output_vel" in ok
+    assert np.all(np.isfinite(ok["output_vel"]))
+
+
+def test_library_nan_input_does_not_crash():
+    """Library-level policy (documented): NaN inputs are GIGO — the tick must
+    never raise or hang; outputs may be NaN/garbage, caller's contract."""
+    cfg = mpc.default_config().replace(max_plan_points=16)
+    out = _tick_once(cfg, mpc.Footprint.rectangle(0.6, 0.4),
+                     pose=[np.nan, 0.0, 0.0])
+    assert np.asarray(out.cmd_vel).shape == (3,)
+
+
+@pytest.mark.parametrize("seed", [20, 21])
+def test_random_plan_lengths_through_serving(seed):
+    """set_plan/tick across the full legal plan-length envelope [1, max]."""
+    from neo_mpc_planner2_tpu.serving import OptimizerSession
+    rng = np.random.default_rng(seed)
+    cfg = mpc.default_config().replace(
+        max_plan_points=32, w_trans=0.82, w_control=0.05)
+    s = OptimizerSession(cfg)
+    s.handle({"op": "set_costmap", "data": np.zeros((40, 40)).tolist(),
+              "origin": [-1, -1], "resolution": 0.05})
+    s.handle({"op": "set_footprint",
+              "points": [[0.3, 0.2], [-0.3, 0.2], [-0.3, -0.2], [0.3, -0.2]]})
+    for n in [1, int(rng.integers(2, 31)), 32]:
+        poses = np.cumsum(rng.uniform(0, 0.08, (n, 3)), axis=0)
+        assert s.handle({"op": "set_plan", "poses": poses.tolist()})["ok"]
+        r = s.handle({"op": "tick", "pose": [0, 0, 0], "vel": [0, 0, 0],
+                      "delta_t": 0.033})
+        assert "output_vel" in r and np.all(np.isfinite(r["output_vel"]))
+    assert "error" in s.handle({"op": "set_plan",
+                                "poses": np.zeros((33, 3)).tolist()})

@@ -77,3 +77,45 @@ def test_product_engine_runs_closed_loop(product_cfg, empty_costmap, footprint):
         vel = out.cmd_vel
     assert float(pose[0]) > 0.3  # made real forward progress
     assert np.all(np.isfinite(np.asarray(pose)))
+
+
+def test_product_closed_loop_quality_vs_parity(cfg):
+    """Round-3 verdict item 6: product mode (prox-FISTA + smooth bilinear
+    objective) must be SUBSTANTIATED, not just correctness-tested — drive the
+    same goal-reachable suite closed-loop through both solvers and require
+    product mode to reach goals with parity-class accuracy."""
+    from neo_mpc_planner2_tpu.ops.objective import make_objective
+    from neo_mpc_planner2_tpu.scenarios import make_scenario_batch
+    from neo_mpc_planner2_tpu.simulation import batch_simulate
+    from neo_mpc_planner2_tpu.solver import make_solver
+
+    # Same weights as the parity quality pass so only the solver + the
+    # smooth objective differ. NOTE (documented in MIGRATION.md): product
+    # mode is weight-sensitive — unlike parity's nearest-cell sampling
+    # (zero costmap gradient almost everywhere), the bilinear term actively
+    # trades tracking for clearance, and cranked obstacle weights
+    # (w_costmap 0.5 / w_footprint 2.0 was measured here) can move the
+    # closed-loop equilibrium off the goal entirely. Re-tune when migrating.
+    pcfg = cfg.replace(
+        compat=dataclasses.replace(
+            cfg.compat, buggy_odom_yaw=False, footprint_alias_noop=False,
+            lethal_1000x=False, unsquared_control_cost=False,
+            no_angle_wrap=False))
+    sb = make_scenario_batch(pcfg, 6, seed=5, map_size=64, plan_points=48,
+                             plan_length_range=(0.7, 1.0),
+                             clear_corridor_m=0.55, center_on="plan")
+    ticks = 90
+
+    run_par = batch_simulate(cfg, sb, ticks)  # parity SQP, same scenarios
+    psolver = jax.vmap(make_solver(pcfg, make_objective(pcfg, parity=False)))
+    run_pro = batch_simulate(pcfg, sb, ticks, parity=False,
+                             solver_batch=psolver)
+
+    d_par = np.asarray(run_par.goal_dist[:, -1])
+    d_pro = np.asarray(run_pro.goal_dist[:, -1])
+    # Both reach most goals on this clear-corridor suite; product mode must
+    # not be a regression class (same 10 cm capture radius).
+    assert (d_par < 0.10).mean() >= 0.8, d_par
+    assert (d_pro < 0.10).mean() >= 0.8, d_pro
+    # And its solves converge (the flag the warm-start logic branches on).
+    assert float(np.asarray(run_pro.converged, np.float32).mean()) > 0.9

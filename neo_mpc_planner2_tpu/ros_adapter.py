@@ -1,0 +1,250 @@
+"""Import-guarded ROS 2 adapter: run this engine as the reference's
+`mpc_optimization_server` node inside a real rclpy stack.
+
+The reference is a ROS-native two-process system (plugin cpp:202-254 ↔ rclpy
+node py:441-447); this framework deliberately scopes ROS out of its core
+(SURVEY.md §7 — no rclpy in the compute path, TCP/JSON serving instead). This
+module is the BRIDGE for deployments that do run ROS 2: a drop-in twin of the
+reference's server node (same node name, same 22 parameters, same `optimizer`
+service semantics, same footprint subscription) backed by the device engine
+through `serving.OptimizerSession`.
+
+Design: everything testable is PURE — message translation (quaternion↔yaw
+exactly as the reference computes it, py:160-196), request unpacking, and the
+service-callback core operate on duck-typed message objects, so the full
+translation layer is unit-tested without ROS. The rclpy wiring
+(`RosOptimizerServer`, `main`) is a thin import-guarded shell: importing this
+module never imports rclpy; constructing the node without rclpy raises a
+clear error. This adapter has NOT been exercised against a live Nav2 stack
+(no ROS in this environment) — the boundary is documented in
+docs/MIGRATION.md.
+
+Message shapes (duck-typed; matching neo_srvs2/srv/Optimizer as inferred in
+SURVEY.md §2.1 C1):
+  request.current_pose : PoseStamped   (.pose.position/.pose.orientation)
+  request.carrot_pose  : PoseStamped
+  request.goal_pose    : Pose          (.position/.orientation — no .pose,
+                                        exactly like py:212/:266)
+  request.current_vel  : Twist         (.linear/.angular)
+  request.switch_opt   : bool
+  request.control_interval : float
+  response.output_vel  : TwistStamped  (.twist.linear/.twist.angular)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+from .config import MpcConfig, config_from_ros_params, default_config
+from .serving import OptimizerSession
+
+__all__ = [
+    "HAVE_RCLPY", "euler_yaw_from_quaternion", "quaternion_from_yaw",
+    "pose_to_xyyaw", "twist_to_vec", "request_to_msg", "fill_response",
+    "optimizer_callback_core", "footprint_msg_to_points",
+    "occupancy_grid_to_costmap_msg", "RosOptimizerServer", "main",
+]
+
+try:  # pragma: no cover - exercised only in a real ROS environment
+    import rclpy  # type: ignore  # noqa: F401
+
+    HAVE_RCLPY = True
+except ImportError:
+    HAVE_RCLPY = False
+
+
+# ---------------------------------------------------------------------------
+# Pure message translation (reference py:160-196 math, exactly)
+# ---------------------------------------------------------------------------
+
+def euler_yaw_from_quaternion(x: float, y: float, z: float, w: float) -> float:
+    """Yaw extraction, same expression as the reference (py:176-178)."""
+    t3 = 2.0 * (w * z + x * y)
+    t4 = 1.0 - 2.0 * (y * y + z * z)
+    return math.atan2(t3, t4)
+
+
+def quaternion_from_yaw(yaw: float):
+    """(w, x, y, z) like the reference's quaternion_from_euler(0, 0, yaw)
+    (py:182-196 returns [w, x, y, z] for roll=pitch=0)."""
+    return (math.cos(yaw * 0.5), 0.0, 0.0, math.sin(yaw * 0.5))
+
+
+def pose_to_xyyaw(pose: Any) -> list:
+    """geometry_msgs/Pose (or .pose of a PoseStamped) -> [x, y, yaw]."""
+    p, q = pose.position, pose.orientation
+    return [float(p.x), float(p.y),
+            euler_yaw_from_quaternion(q.x, q.y, q.z, q.w)]
+
+
+def twist_to_vec(tw: Any) -> list:
+    """geometry_msgs/Twist -> [vx, vy, wz] (py:216-218 reads .linear.x/y and
+    .angular.z)."""
+    return [float(tw.linear.x), float(tw.linear.y), float(tw.angular.z)]
+
+
+def request_to_msg(request: Any, delta_t: Optional[float] = None) -> dict:
+    """Optimizer.srv request -> the serving-session optimizer op dict."""
+    pose_stamped = request.current_pose
+    carrot_stamped = request.carrot_pose
+    msg = {
+        "op": "optimizer",
+        "current_pose": pose_to_xyyaw(pose_stamped.pose),
+        "carrot_pose": pose_to_xyyaw(carrot_stamped.pose),
+        # goal_pose is a bare Pose in the schema (accessed without .pose at
+        # py:212/:266).
+        "goal_pose": pose_to_xyyaw(request.goal_pose),
+        "current_vel": twist_to_vec(request.current_vel),
+        "switch_opt": bool(request.switch_opt),
+        "control_interval": float(request.control_interval),
+    }
+    if delta_t is not None:
+        msg["delta_t"] = float(delta_t)
+    return msg
+
+
+def fill_response(response: Any, result: dict) -> Any:
+    """Serving result dict -> Optimizer.srv response. Like the reference,
+    only output_vel.twist carries data (SURVEY.md §2.3.11 — headers are never
+    populated); unlike it, we do populate them when the message has a header
+    field the caller pre-stamped."""
+    v = result["output_vel"]
+    tw = response.output_vel.twist
+    tw.linear.x, tw.linear.y, tw.angular.z = float(v[0]), float(v[1]), float(v[2])
+    return response
+
+
+def optimizer_callback_core(session: OptimizerSession, request: Any,
+                            response: Any,
+                            delta_t: Optional[float] = None) -> Any:
+    """The whole service callback, rclpy-free: unpack -> solve -> fill.
+
+    Raises RuntimeError with the session's error string when the request is
+    rejected (no costmap/footprint staged, non-finite input) — the rclpy
+    shell converts that to a service failure log + zero command, which is
+    safer than the reference's behavior of crashing the executor on a
+    missing footprint (§2.3.10)."""
+    result = session.handle(request_to_msg(request, delta_t))
+    if "error" in result:
+        raise RuntimeError(result["error"])
+    return fill_response(response, result)
+
+
+def footprint_msg_to_points(msg: Any) -> list:
+    """geometry_msgs/PolygonStamped (the `/local_costmap/published_footprint`
+    payload, py:140-144) -> [[x, y], ...] BASE-frame vertices."""
+    return [[float(p.x), float(p.y)] for p in msg.polygon.points]
+
+
+def occupancy_grid_to_costmap_msg(msg: Any) -> dict:
+    """nav_msgs/OccupancyGrid (the `/local_costmap/costmap` topic the
+    reference's Costmap2d subscribes to, py:118) -> set_costmap op dict.
+    Row-major int8 data, -1 unknown -> lethal (nav2 convention)."""
+    info = msg.info
+    h, w = int(info.height), int(info.width)
+    rows = []
+    data = list(msg.data)
+    for r in range(h):
+        row = []
+        for c in range(w):
+            v = data[r * w + c]
+            row.append(1.0 if v < 0 else min(max(v / 100.0, 0.0), 1.0))
+        rows.append(row)
+    return {
+        "op": "set_costmap",
+        "data": rows,
+        "origin": [float(info.origin.position.x),
+                   float(info.origin.position.y)],
+        "resolution": float(info.resolution),
+    }
+
+
+# ---------------------------------------------------------------------------
+# rclpy shell (import-guarded; thin by construction)
+# ---------------------------------------------------------------------------
+
+class RosOptimizerServer:
+    """rclpy node twin of the reference server (py:44-153): node name
+    `mpc_optimization_server`, the same ROS parameters (declared from
+    MpcConfig so names/defaults match py:49-75 1:1), service `optimizer`,
+    subscriptions for the published footprint and the local costmap grid.
+
+    srv_type: the neo_srvs2.srv.Optimizer class (passed in so this module
+    never hard-imports neo_srvs2; any service type with the same fields
+    works)."""
+
+    def __init__(self, srv_type: Any, cfg: Optional[MpcConfig] = None):
+        if not HAVE_RCLPY:
+            raise ImportError(
+                "rclpy is not available — RosOptimizerServer needs a ROS 2 "
+                "environment; use `neo-mpc-server` (TCP/JSON) otherwise")
+        import dataclasses
+
+        from rclpy.node import Node  # type: ignore
+
+        class _Node(Node):
+            pass
+
+        self.node = _Node("mpc_optimization_server")
+        base = cfg or default_config()
+        # Declare the reference's parameter surface and read overrides.
+        params = {}
+        for f in dataclasses.fields(MpcConfig):
+            if f.name == "compat":
+                continue
+            v = getattr(base, f.name)
+            if isinstance(v, (int, float, bool, str)):
+                self.node.declare_parameter(f.name, v)
+                params[f.name] = self.node.get_parameter(f.name).value
+        self.session = OptimizerSession(config_from_ros_params(params,
+                                                               base=base))
+        self.srv = self.node.create_service(srv_type, "optimizer",
+                                            self._on_optimize)
+        from geometry_msgs.msg import PolygonStamped  # type: ignore
+        from nav_msgs.msg import OccupancyGrid  # type: ignore
+
+        self.node.create_subscription(
+            PolygonStamped, "/local_costmap/published_footprint",
+            self._on_footprint, 10)
+        self.node.create_subscription(
+            OccupancyGrid, "/local_costmap/costmap", self._on_costmap, 1)
+        self.node.add_on_set_parameters_callback(self._on_params)
+
+    def _on_footprint(self, msg: Any) -> None:
+        self.session.handle({"op": "set_footprint",
+                             "points": footprint_msg_to_points(msg)})
+
+    def _on_costmap(self, msg: Any) -> None:
+        self.session.handle(occupancy_grid_to_costmap_msg(msg))
+
+    def _on_params(self, params) -> Any:
+        from rcl_interfaces.msg import SetParametersResult  # type: ignore
+
+        update = {p.name: p.value for p in params}
+        r = self.session.handle({"op": "configure", "params": update})
+        return SetParametersResult(successful="error" not in r)
+
+    def _on_optimize(self, request: Any, response: Any) -> Any:
+        try:
+            return optimizer_callback_core(self.session, request, response)
+        except RuntimeError as e:
+            # Safer than the reference's footprint-race crash (§2.3.10):
+            # log + zero command.
+            self.node.get_logger().warn(f"optimizer request rejected: {e}")
+            return response
+
+    def spin(self) -> None:  # pragma: no cover - needs ROS
+        import rclpy  # type: ignore
+
+        rclpy.spin(self.node)
+
+
+def main(argv=None) -> None:  # pragma: no cover - needs ROS
+    """`ros2 run`-style entry (reference py:441-447). Requires rclpy and
+    neo_srvs2 in the environment."""
+    import rclpy  # type: ignore
+    from neo_srvs2.srv import Optimizer  # type: ignore
+
+    rclpy.init(args=argv)
+    RosOptimizerServer(Optimizer).spin()

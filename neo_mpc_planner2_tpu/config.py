@@ -224,6 +224,16 @@ class MpcConfig:
     # (alpha recovers at 2x per iteration), so solutions change: operating
     # points enabling this need the sweep_ls fidelity gate. Off by default.
     solver_ls_warm_alpha: bool = False
+    # Quadratic-interpolation backtracking (round-4 eval-count lever): on a
+    # rejected candidate the next alpha minimizes the 1-D quadratic through
+    # (phi(0), dphi(0), phi(alpha)) instead of multiplying by the fixed
+    # schedule factor, safeguarded to [0.1·alpha, 0.5·alpha] (Nocedal&Wright
+    # §3.5). Deep-backtrack episodes (the reject-everything control-kink
+    # lanes that set the lockstep trip count) can land in fewer trips, but
+    # accepted alphas leave the fixed grid, so solutions change: operating
+    # points enabling this need the sweep_ls fidelity gate (cmd-diff p99
+    # <= 0.004, lanes<0.01 >= 0.9). Off by default; A/B recorded in PERF.md.
+    solver_ls_quad_interp: bool = False
     # Compatibility quirks toggle.
     compat: CompatConfig = dataclasses.field(default_factory=CompatConfig)
 

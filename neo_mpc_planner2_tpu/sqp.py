@@ -520,6 +520,7 @@ def _make_sqp(
     coarse_after = int(cfg.solver_ls_coarse_after)
     coarse = float(cfg.solver_ls_coarse_factor)
     warm_ls = bool(cfg.solver_ls_warm_alpha)
+    quad_ls = bool(cfg.solver_ls_quad_interp)
 
     def _ls_alpha(j):
         """Candidate alpha after j rejections: bt^min(j,F) · coarse^max(j−F,0)
@@ -647,7 +648,21 @@ def _make_sqp(
                 alpha, j, ok, facc = carry
                 phi, fv = merit(s.x + alpha * d, mu)
                 ok = phi <= phi0 + 1e-4 * alpha * dphi + 1e-12
-                alpha_next = jnp.where(ok, alpha, alpha * _ls_factor(j))
+                if quad_ls:
+                    # Quadratic-interpolation backtracking (N&W §3.5): the
+                    # minimizer of the quadratic through phi(0)=phi0,
+                    # phi'(0)=dphi, phi(alpha)=phi. On a rejection
+                    # phi > phi0 + c·alpha·dphi, so the denominator is
+                    # positive and the minimizer sits in (0, alpha);
+                    # safeguard to [0.1, 0.5]·alpha against tiny/degenerate
+                    # curvature (dphi ~ 0 at the nonsmooth kink).
+                    denom = 2.0 * (phi - phi0 - dphi * alpha)
+                    a_q = -dphi * alpha * alpha / jnp.where(
+                        jnp.abs(denom) > 1e-20, denom, 1e-20)
+                    a_next = jnp.clip(a_q, 0.1 * alpha, 0.5 * alpha)
+                else:
+                    a_next = alpha * _ls_factor(j)
+                alpha_next = jnp.where(ok, alpha, a_next)
                 facc = jnp.where(ok, fv, facc)
                 return (alpha_next, j + 1, ok, facc)
 

@@ -35,6 +35,9 @@ def main() -> None:
     ap.add_argument("--no-fidelity", action="store_true")
     ap.add_argument("--qp-iters", type=int, default=0,
                     help="override cfg.qp_iters for all combos (0 = default)")
+    ap.add_argument("--quad-interp", action="store_true",
+                    help="quadratic-interpolation backtracking "
+                         "(solver_ls_quad_interp)")
     ap.add_argument("--warm-alpha", action="store_true",
                     help="enable solver_ls_warm_alpha for all combos")
     ap.add_argument("--u8", action="store_true",
@@ -68,6 +71,8 @@ def main() -> None:
         base = base.replace(qp_iters=args.qp_iters)
     if args.warm_alpha:
         base = base.replace(solver_ls_warm_alpha=True)
+    if args.quad_interp:
+        base = base.replace(solver_ls_quad_interp=True)
     if args.u8:
         base = base.replace(solver_costmap_u8=True)
     sb = make_scenario_batch(base, args.batch, seed=0,

@@ -362,3 +362,30 @@ def test_warm_alpha_schedule(cfg, empty_costmap, footprint):
                                    rtol=1e-5, atol=1e-6)
         cold = solve_cold(x0, scen)
         assert float(seq.fun) <= float(cold.fun) + 1e-4
+
+
+def test_quad_interp_line_search_converges(cfg, footprint):
+    """solver_ls_quad_interp (round-4 eval-count lever): same minimizer class
+    as the fixed schedule — commands stay within the fidelity envelope on a
+    smooth scenario, the solver converges, and iterate counts stay bounded.
+    (The throughput/fidelity A/B at the fleet operating point is a TPU
+    measurement recorded in PERF.md; this pins CPU correctness.)"""
+    import neo_mpc_planner2_tpu as mpc
+
+    data = np.zeros((40, 40))
+    data[25:30, 20:26] = 0.6
+    cm = mpc.Costmap.create(data, origin=(-1.0, -1.0), resolution=0.05)
+    scen = mpc.Scenario.create([0, 0, 0], [0.5, 0.1, 0.2], [1, 0.3, 0.2],
+                               [0.2, 0, 0], footprint, cm)
+    base = mpc.make_sqp_solver(cfg, mpc.make_objective(cfg), ftol=1e-8,
+                               max_iters=100)
+    qcfg = cfg.replace(solver_ls_quad_interp=True)
+    quad = mpc.make_sqp_solver(qcfg, mpc.make_objective(qcfg), ftol=1e-8,
+                               max_iters=100)
+    x0 = jnp.zeros(3 * cfg.control_steps)
+    rb = base(x0, scen)
+    rq = quad(x0, scen)
+    assert bool(rq.converged)
+    # Same minimum within the smooth-scenario envelope.
+    np.testing.assert_allclose(np.asarray(rq.x), np.asarray(rb.x), atol=5e-3)
+    assert abs(float(rq.fun) - float(rb.fun)) < 1e-5

@@ -270,6 +270,151 @@ def run_suite(name, chassis, n, seed, workers, n_perturb, lethal_threshold=None,
     return summary
 
 
+# ---------------------------------------------------------------------------
+# Sequence parity: T stateful ticks per scenario, both sides fed IDENTICAL
+# per-tick inputs (pose/carrot/vel from one shared pursuit stream driven by
+# the device's commands), each side evolving its own warm start / last_control
+# / stuck state. Divergence can only compound through that internal state —
+# exactly the pipeline the deployment runs (py:349-403 every tick).
+# ---------------------------------------------------------------------------
+
+def _oracle_sequence(task):
+    from neo_mpc_planner2_tpu.oracle import NpCostmap, NpScenario, OracleServer
+
+    (idx, inputs, fp_np, cm_data, cm_origin, cm_res) = task
+    cfg = _WORKER["cfg"]
+    npcm = NpCostmap(cm_data, cm_origin, cm_res)
+    srv = OracleServer(cfg)
+    cmds = []
+    for (pose, carrot, goal, vel, sw) in inputs:
+        nps = NpScenario(pose, carrot, goal, vel, fp_np, npcm,
+                         switch_opt=bool(sw), control_interval=1 / 30)
+        cmd, _ = srv.solve(nps, 1 / 30)
+        cmds.append([float(v) for v in cmd])
+    return {"idx": int(idx), "cmds": cmds}
+
+
+def run_sequence_suite(name, chassis, n, ticks, seed, workers):
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+
+    import neo_mpc_planner2_tpu as mpc
+    from neo_mpc_planner2_tpu.engine import init_state, solve_step
+    from neo_mpc_planner2_tpu.ops.pursuit import pursuit_tick
+    from neo_mpc_planner2_tpu.ops.rollout import rollout
+    from neo_mpc_planner2_tpu.ops.footprint import Footprint
+    from neo_mpc_planner2_tpu.scenarios import (
+        MPO500_LENGTH, MPO500_WIDTH, MPO700_LENGTH, MPO700_WIDTH,
+        make_scenario_batch)
+
+    cfg = _suite_cfg(chassis)
+    L, W = ((MPO500_LENGTH, MPO500_WIDTH) if chassis == "mpo500"
+            else (MPO700_LENGTH, MPO700_WIDTH))
+    fp_dev = Footprint.rectangle(L, W, cfg.max_footprint_vertices)
+    sb = make_scenario_batch(cfg, n, seed=seed, map_size=48, plan_points=48,
+                             plan_length_range=(0.7, 1.1),
+                             clear_corridor_m=0.55, center_on="plan",
+                             footprint=fp_dev)
+
+    tick = jax.jit(jax.vmap(lambda plan, start, slow, pose, cm, fp:
+                            pursuit_tick(cfg, plan, start, slow, pose, cm,
+                                         fp)))
+    solver = mpc.make_sqp_solver(cfg, mpc.make_objective(cfg), ftol=1e-8,
+                                 max_iters=300)
+    step = jax.jit(jax.vmap(lambda s, sc: solve_step(
+        cfg, s, sc, jnp.float32(1 / 30), solver=solver)))
+    goal = sb.plan.poses[jnp.arange(n), sb.plan.n_valid - 1]
+    goal_np = np.asarray(goal, float)
+
+    state = jax.tree.map(lambda x: jnp.broadcast_to(x, (n,) + x.shape),
+                         init_state(cfg))
+    pose = sb.robot_pose
+    vel = sb.current_vel
+    start = jnp.zeros((n,), jnp.int32)
+    slow = jnp.zeros((n,), bool)
+    dt = jnp.float32(1 / 30)
+
+    t0 = time.time()
+    dev_cmds = np.zeros((ticks, n, 3))
+    gated = np.zeros((n,), bool)     # any tick hit a plugin gate: excluded
+    seq_inputs = [[] for _ in range(n)]
+    for t in range(ticks):
+        pr = tick(sb.plan, start, slow, pose, sb.costmap, sb.footprint)
+        scen = jax.vmap(lambda p, c, g, v, fp, cm, sw: mpc.Scenario.create(
+            p, c, g, v, fp, cm, switch_opt=sw, control_interval=1 / 30))(
+            pose, pr.carrot_pose, goal, vel, sb.footprint, sb.costmap,
+            pr.closer_to_goal)
+        out = step(state, scen)
+        state = out.state
+        gated |= np.asarray(pr.plan_empty) | np.asarray(pr.lethal)
+        cmd = np.asarray(out.cmd_vel, float)
+        dev_cmds[t] = cmd
+        pose_np = np.asarray(pose, float)
+        carrot_np = np.asarray(pr.carrot_pose, float)
+        closer_np = np.asarray(pr.closer_to_goal)
+        vel_np = np.asarray(vel, float)
+        for i in range(n):
+            seq_inputs[i].append((pose_np[i], carrot_np[i], goal_np[i],
+                                  vel_np[i], bool(closer_np[i])))
+        # Plant: integrate the DEVICE command; both sides see this pose.
+        pose = jax.vmap(lambda c, p: rollout(c[None, :], dt, p)[0])(
+            out.cmd_vel, pose)
+        vel = out.cmd_vel
+        start = pr.new_start
+        slow = jnp.where(pr.plan_empty, slow, pr.slow_down)
+    print(f"[{name}] device: {n} lanes x {ticks} stateful ticks, "
+          f"{time.time() - t0:.1f}s")
+
+    hl, hw = L / 2, W / 2
+    fp_np = np.array([[hl, hw], [-hl, hw], [-hl, -hw], [hl, -hw]])
+    tasks = [(i, seq_inputs[i], fp_np,
+              np.asarray(sb.costmap.data[i], float),
+              np.asarray(sb.costmap.origin[i], float),
+              float(sb.costmap.resolution[i]))
+             for i in range(n) if not gated[i]]
+    t0 = time.time()
+    cfg_bytes = pickle.dumps(cfg)
+    with mp.get_context("spawn").Pool(workers, _init_worker,
+                                      (cfg_bytes,)) as pool:
+        rows = pool.map(_oracle_sequence, tasks, chunksize=2)
+    print(f"[{name}] oracle: {len(tasks)} sequences on {workers} workers, "
+          f"{time.time() - t0:.1f}s")
+
+    diffs = []      # (scenario, tick) command diffs
+    per_tick = np.zeros((ticks,))
+    per_tick_n = 0
+    worst_seq = 0.0
+    for o in rows:
+        i = o["idx"]
+        d = np.abs(dev_cmds[:, i, :] - np.asarray(o["cmds"])).max(axis=-1)
+        diffs.extend(d.tolist())
+        per_tick += (d < CMD_TOL)
+        per_tick_n += 1
+        worst_seq = max(worst_seq, float(d.max()))
+    diffs = np.asarray(diffs)
+    summary = {
+        "suite": name,
+        "mode": "sequence",
+        "n_sequences": per_tick_n,
+        "ticks": ticks,
+        "checked": int(diffs.size),
+        "matched": int((diffs < CMD_TOL).sum()),
+        "matched_frac": float((diffs < CMD_TOL).mean()),
+        "cmd_diff_p50": float(np.percentile(diffs, 50)),
+        "cmd_diff_p99": float(np.percentile(diffs, 99)),
+        "cmd_diff_max": float(diffs.max()),
+        "matched_frac_per_tick": [round(float(v / max(per_tick_n, 1)), 4)
+                                  for v in per_tick],
+    }
+    print(f"[{name}] sequence parity: {summary['matched']}/"
+          f"{summary['checked']} (frac={summary['matched_frac']:.3f}), "
+          f"p99 {summary['cmd_diff_p99']:.2e}, last-tick frac "
+          f"{summary['matched_frac_per_tick'][-1]:.3f}")
+    return summary
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=300)
@@ -277,7 +422,9 @@ def main():
     ap.add_argument("--workers", type=int, default=max(2, os.cpu_count() - 1))
     ap.add_argument("--perturb-reps", type=int, default=3)
     ap.add_argument("--out", default="PARITY_REPORT.json")
-    ap.add_argument("--suites", default="mpo700,mpo500,footprint")
+    ap.add_argument("--suites", default="mpo700,mpo500,footprint,sequence")
+    ap.add_argument("--sequence-n", type=int, default=50)
+    ap.add_argument("--sequence-ticks", type=int, default=10)
     args = ap.parse_args()
 
     results = []
@@ -296,6 +443,10 @@ def main():
                                  args.seed + 198, args.workers,
                                  args.perturb_reps, lethal_threshold=0.5,
                                  pose_jitter=0.7))
+    if "sequence" in suites:
+        results.append(run_sequence_suite(
+            "mpo700_sequence", "mpo700", args.sequence_n,
+            args.sequence_ticks, args.seed + 297, args.workers))
 
     report = {
         "cmd_tol": CMD_TOL,

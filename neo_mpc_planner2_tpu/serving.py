@@ -112,7 +112,7 @@ class OptimizerSession:
         # created; slot_ttl (seconds, None = off) additionally expires slots
         # idle longer than the TTL at the same point. Explicit release is the
         # "release" op. The monotonic clock is injectable for tests.
-        self.max_slots = int(max_slots)
+        self.max_slots = max(1, int(max_slots))  # >=1: the default slot must fit
         self.slot_ttl = slot_ttl
         self._slot_clock = time.monotonic
         # save_state/load_state ops resolve request paths INSIDE this

@@ -146,7 +146,7 @@ def _device_solves(cfg, sb, n):
 
 
 def run_suite(name, chassis, n, seed, workers, n_perturb, lethal_threshold=None,
-              pose_jitter=0.05):
+              pose_jitter=0.05, control_steps=None):
     import pickle
 
     import jax
@@ -158,6 +158,8 @@ def run_suite(name, chassis, n, seed, workers, n_perturb, lethal_threshold=None,
         make_scenario_batch)
 
     cfg = _suite_cfg(chassis)
+    if control_steps is not None:
+        cfg = cfg.replace(control_steps=control_steps)
     L, W = ((MPO500_LENGTH, MPO500_WIDTH) if chassis == "mpo500"
             else (MPO700_LENGTH, MPO700_WIDTH))
     fp_dev = Footprint.rectangle(L, W, cfg.max_footprint_vertices)
@@ -422,7 +424,7 @@ def main():
     ap.add_argument("--workers", type=int, default=max(2, os.cpu_count() - 1))
     ap.add_argument("--perturb-reps", type=int, default=3)
     ap.add_argument("--out", default="PARITY_REPORT.json")
-    ap.add_argument("--suites", default="mpo700,mpo500,footprint,sequence")
+    ap.add_argument("--suites", default="mpo700,mpo500,footprint,cs5,sequence")
     ap.add_argument("--sequence-n", type=int, default=50)
     ap.add_argument("--sequence-ticks", type=int, default=10)
     args = ap.parse_args()
@@ -443,6 +445,12 @@ def main():
                                  args.seed + 198, args.workers,
                                  args.perturb_reps, lethal_threshold=0.5,
                                  pose_jitter=0.7))
+    if "cs5" in suites:
+        # Horizon-robustness axis: control_steps=5 over the same 0.8 s
+        # horizon (decision vector 15, the m=15 kernel path end-to-end).
+        results.append(run_suite("mpo700_cs5", "mpo700", args.n,
+                                 args.seed + 555, args.workers,
+                                 args.perturb_reps, control_steps=5))
     if "sequence" in suites:
         results.append(run_sequence_suite(
             "mpo700_sequence", "mpo700", args.sequence_n,

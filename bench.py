@@ -31,6 +31,15 @@ import time
 
 import numpy as np
 
+# Persistent XLA compilation cache, on by default: on a slow tunnel day the
+# backend's deferred first-run compile of the headline executable alone was
+# measured at 310 s (cache hit: 140 s — the residue is executable shipping
+# over the ~1 MB/s link), which blows the 560 s deadline before a single row
+# lands. The cache survives across bench processes, so a pre-warmed /tmp
+# cache keeps every later run inside budget. Opt out with
+# NEO_MPC_COMPILE_CACHE="" (the package treats empty as unset).
+os.environ.setdefault("NEO_MPC_COMPILE_CACHE", "/tmp/neo_xla_cache")
+
 # The one JSON line, built incrementally as passes finish. The headline pass
 # is mandatory; every later pass is best-effort. A watchdog thread emits the
 # line shortly before the driver's hard timeout even if a later pass is stuck

@@ -43,7 +43,9 @@ __all__ = [
     "HAVE_RCLPY", "euler_yaw_from_quaternion", "quaternion_from_yaw",
     "pose_to_xyyaw", "twist_to_vec", "request_to_msg", "fill_response",
     "optimizer_callback_core", "footprint_msg_to_points",
-    "occupancy_grid_to_costmap_msg", "RosOptimizerServer", "main",
+    "occupancy_values_to_cost", "occupancy_grid_to_costmap_msg",
+    "occupancy_grid_update_to_msg", "costmap_refresh_op",
+    "RosOptimizerServer", "main",
 ]
 
 try:  # pragma: no cover - exercised only in a real ROS environment
@@ -107,8 +109,8 @@ def request_to_msg(request: Any, delta_t: Optional[float] = None) -> dict:
 def fill_response(response: Any, result: dict) -> Any:
     """Serving result dict -> Optimizer.srv response. Like the reference,
     only output_vel.twist carries data (SURVEY.md §2.3.11 — headers are never
-    populated); unlike it, we do populate them when the message has a header
-    field the caller pre-stamped."""
+    populated here either; a caller that needs stamps must fill
+    response.output_vel.header itself after this returns)."""
     v = result["output_vel"]
     tw = response.output_vel.twist
     tw.linear.x, tw.linear.y, tw.angular.z = float(v[0]), float(v[1]), float(v[2])
@@ -137,27 +139,72 @@ def footprint_msg_to_points(msg: Any) -> list:
     return [[float(p.x), float(p.y)] for p in msg.polygon.points]
 
 
+def occupancy_values_to_cost(data: Any, h: int, w: int) -> "np.ndarray":
+    """Row-major occupancy values (int8: -1 unknown, 0..100 occupancy) ->
+    (h, w) float32 normalized cost, -1 unknown -> lethal (nav2 convention).
+    Vectorized: a 128² grid arrives continuously on the costmap topic and a
+    Python per-cell loop inside the rclpy executor callback would starve the
+    optimizer service."""
+    import numpy as np
+
+    arr = np.asarray(data, dtype=np.float32).reshape(h, w)
+    return np.where(arr < 0, np.float32(1.0),
+                    np.clip(arr / 100.0, 0.0, 1.0)).astype(np.float32)
+
+
 def occupancy_grid_to_costmap_msg(msg: Any) -> dict:
     """nav_msgs/OccupancyGrid (the `/local_costmap/costmap` topic the
-    reference's Costmap2d subscribes to, py:118) -> set_costmap op dict.
-    Row-major int8 data, -1 unknown -> lethal (nav2 convention)."""
+    reference's Costmap2d subscribes to, py:118) -> set_costmap op dict."""
     info = msg.info
     h, w = int(info.height), int(info.width)
-    rows = []
-    data = list(msg.data)
-    for r in range(h):
-        row = []
-        for c in range(w):
-            v = data[r * w + c]
-            row.append(1.0 if v < 0 else min(max(v / 100.0, 0.0), 1.0))
-        rows.append(row)
     return {
         "op": "set_costmap",
-        "data": rows,
+        "data": occupancy_values_to_cost(msg.data, h, w),
         "origin": [float(info.origin.position.x),
                    float(info.origin.position.y)],
         "resolution": float(info.resolution),
     }
+
+
+def occupancy_grid_update_to_msg(msg: Any) -> dict:
+    """map_msgs/OccupancyGridUpdate (nav2's `/local_costmap/costmap_updates`
+    topic — the dirty-window companion of the full grid) -> the serving
+    set_costmap_update op: only the changed block crosses into the staged
+    device map."""
+    h, w = int(msg.height), int(msg.width)
+    return {
+        "op": "set_costmap_update",
+        "data": occupancy_values_to_cost(msg.data, h, w),
+        "lo": [int(msg.x), int(msg.y)],
+    }
+
+
+def costmap_refresh_op(prev_grid, prev_meta, grid, meta) -> Optional[dict]:
+    """Cheapest serving op that brings the staged map from `prev_grid` to
+    `grid` ((H, W) float32 cost arrays; meta = (origin_xy, resolution)).
+
+    Full-grid messages keep arriving even when almost nothing changed; a
+    full set_costmap restage per message pays Costmap.create + the whole
+    flat/u8 relayout + a whole-grid device_put every time (the exact per-tick
+    re-stage op_set_costmap_update exists to avoid). Diff against the
+    previous grid and send only the dirty bounding box. Returns None when
+    nothing changed; falls back to the full set_costmap op when there is no
+    previous grid or the geometry moved (shape/origin/resolution — e.g. a
+    rolling local costmap re-anchoring its origin)."""
+    import numpy as np
+
+    if prev_grid is None or prev_meta != meta or prev_grid.shape != grid.shape:
+        return {"op": "set_costmap", "data": grid,
+                "origin": list(meta[0]), "resolution": meta[1]}
+    diff = prev_grid != grid
+    if not diff.any():
+        return None
+    rows = np.flatnonzero(diff.any(axis=1))
+    cols = np.flatnonzero(diff.any(axis=0))
+    r0, r1 = int(rows[0]), int(rows[-1]) + 1
+    c0, c1 = int(cols[0]), int(cols[-1]) + 1
+    return {"op": "set_costmap_update", "data": grid[r0:r1, c0:c1],
+            "lo": [c0, r0]}
 
 
 # ---------------------------------------------------------------------------
@@ -201,6 +248,11 @@ class RosOptimizerServer:
                                                                base=base))
         self.srv = self.node.create_service(srv_type, "optimizer",
                                             self._on_optimize)
+        # Last staged grid, for diffing full-grid messages down to their
+        # dirty bounding box (costmap_refresh_op). Set before the
+        # subscriptions exist so no callback can observe a missing attribute.
+        self._last_grid = None
+        self._last_meta = None
         from geometry_msgs.msg import PolygonStamped  # type: ignore
         from nav_msgs.msg import OccupancyGrid  # type: ignore
 
@@ -209,6 +261,16 @@ class RosOptimizerServer:
             self._on_footprint, 10)
         self.node.create_subscription(
             OccupancyGrid, "/local_costmap/costmap", self._on_costmap, 1)
+        # nav2 publishes dirty windows on the companion updates topic; ride
+        # them straight into op_set_costmap_update (map_msgs is optional).
+        try:  # pragma: no cover - needs ROS
+            from map_msgs.msg import OccupancyGridUpdate  # type: ignore
+
+            self.node.create_subscription(
+                OccupancyGridUpdate, "/local_costmap/costmap_updates",
+                self._on_costmap_update, 10)
+        except ImportError:
+            pass
         self.node.add_on_set_parameters_callback(self._on_params)
 
     def _on_footprint(self, msg: Any) -> None:
@@ -216,7 +278,28 @@ class RosOptimizerServer:
                              "points": footprint_msg_to_points(msg)})
 
     def _on_costmap(self, msg: Any) -> None:
-        self.session.handle(occupancy_grid_to_costmap_msg(msg))
+        info = msg.info
+        grid = occupancy_values_to_cost(msg.data, int(info.height),
+                                        int(info.width))
+        meta = ((float(info.origin.position.x),
+                 float(info.origin.position.y)), float(info.resolution))
+        op = costmap_refresh_op(self._last_grid, self._last_meta, grid, meta)
+        if op is not None:
+            self.session.handle(op)
+        self._last_grid, self._last_meta = grid, meta
+
+    def _on_costmap_update(self, msg: Any) -> None:
+        op = occupancy_grid_update_to_msg(msg)
+        r = self.session.handle(op)
+        if "error" in r:  # no full grid staged yet: drop until one arrives
+            return
+        if self._last_grid is not None:
+            # Keep the diff baseline consistent with the staged device map.
+            h, w = op["data"].shape
+            x, y = op["lo"]
+            if y + h <= self._last_grid.shape[0] and \
+                    x + w <= self._last_grid.shape[1]:
+                self._last_grid[y:y + h, x:x + w] = op["data"]
 
     def _on_params(self, params) -> Any:
         from rcl_interfaces.msg import SetParametersResult  # type: ignore

@@ -458,6 +458,11 @@ class OptimizerSession:
             lo = np.asarray(msg.get("lo", (0, 0)), np.int32)
             if cells.ndim != 2 or cells.size == 0:
                 return {"error": "update data must be a non-empty 2-D block"}
+            if not np.isfinite(cells).all():
+                # Same wire-boundary NaN/Inf policy as op_set_costmap: a
+                # non-finite cell written into the staged map would poison
+                # every later objective AND the persistent warm starts.
+                return {"error": "update data contains non-finite values"}
             if (lo.shape != (2,) or lo.min() < 0 or lo[0] + cells.shape[1] > w
                     or lo[1] + cells.shape[0] > h):
                 return {"error": "update window outside the map"}
@@ -560,7 +565,15 @@ class OptimizerSession:
             return {"ok": True, "fleet": True,
                     "lanes": int(self._fleet_state.initial_guess.shape[0]),
                     "robots": self._fleet_n}
-        slot = self._slot(msg)
+        # Lookup WITHOUT _slot(): saving must not create a slot for a typo'd
+        # robot id (which would both run LRU eviction against real robots and
+        # silently checkpoint a fresh init_state instead of erroring).
+        rid = str(msg.get("robot", ""))
+        slot = self._slots.get(rid)
+        if slot is None:
+            return {"error": f"no session state for robot {rid!r} "
+                             "(nothing solved yet?)"}
+        slot["last_used"] = self._slot_clock()
         save_state(path, slot["state"])
         return {"ok": True, "fleet": False}
 

@@ -78,6 +78,12 @@ class SimResult(NamedTuple):
     converged: jnp.ndarray    # (T,) bool solver converged this tick
     solver_iters: jnp.ndarray  # (T,) SQP iterations spent this tick
     final_state: ControlState
+    # costmap_updates regime only: the carried per-lane world map AFTER the
+    # run's dirty-window writes (None otherwise). Chain segments with
+    # batch_simulate(..., init=..., init_costmap=res.final_costmap) —
+    # rebuilding the carry from the pristine scenario_batch.costmap would
+    # silently discard every update the previous segment painted.
+    final_costmap: Costmap | None = None
 
 
 def simulate_follow_path(
@@ -153,6 +159,7 @@ def batch_simulate(cfg: MpcConfig, scenario_batch, n_ticks: int,
                    obstacle_lethal_threshold: float | None = None,
                    costmap_updates=None,
                    update_cells: int = 16,
+                   init_costmap: Costmap | None = None,
                    solver_batch=None,
                    ) -> SimResult:
     """Closed-loop sim over a ScenarioBatch (scenarios.py), batch-first.
@@ -199,7 +206,18 @@ def batch_simulate(cfg: MpcConfig, scenario_batch, n_ticks: int,
     re-flatten — this is the deployment pattern of nav2's live local costmap
     (the reference's Costmap2d subscription, py:118). Composes with
     window_cells (zero-copy view over the carried, updated world map);
-    mutually exclusive with dynamic_obstacles.
+    mutually exclusive with dynamic_obstacles. The updated world map is
+    returned as SimResult.final_costmap — to chain segments through `init`,
+    also pass init_costmap=res.final_costmap (else the next segment's
+    carried map restarts from the pristine base and loses every painted
+    cell). scenario_batch.costmap stays the STATIC BASE BELIEF the patches
+    repaint from in both segments, so the chain is bit-identical to one
+    longer run. Like dynamic_obstacles, the tick clock restarts at 0 per
+    call — advance the obstacle centers yourself when chaining
+    (centers + n_ticks·dt·vel).
+
+    init_costmap: optional carried-map resume handle (a previous segment's
+    SimResult.final_costmap); costmap_updates regime only.
     """
     from .engine import make_batched_controller_step
 
@@ -330,7 +348,13 @@ def batch_simulate(cfg: MpcConfig, scenario_batch, n_ticks: int,
         # The carried world map: broadcast shared origin/resolution shapes to
         # per-lane if needed is already the ScenarioBatch layout; carry the
         # hoisted-flat map so updates refresh it in place across ticks.
-        init_carry = (state0, pose0, vel0, costmap)
+        # init_costmap resumes a previous segment's carried map (its hoisted
+        # views come along) while base_data above stays the pristine belief.
+        init_carry = (state0, pose0, vel0,
+                      costmap if init_costmap is None else init_costmap)
+    elif init_costmap is not None:
+        raise ValueError("init_costmap is only meaningful with "
+                         "costmap_updates")
     else:
         init_carry = (state0, pose0, vel0)
     fin, outs = jax.lax.scan(tick, init_carry, jnp.arange(n_ticks))
@@ -340,4 +364,6 @@ def batch_simulate(cfg: MpcConfig, scenario_batch, n_ticks: int,
         lambda a: jnp.moveaxis(a, 0, 1), outs)
     return SimResult(poses=poses, cmds=cmds, collisions=cols, lethal=lethal,
                      goal_dist=gd, converged=conv, solver_iters=iters,
-                     final_state=fin_state)
+                     final_state=fin_state,
+                     final_costmap=(fin[3] if costmap_updates is not None
+                                    else None))

@@ -7,20 +7,23 @@
 #   3. quad-interp line-search A/B behind the sweep_ls fidelity gate
 # Usage: bash scripts/round4_batch.sh | tee /tmp/r4batch.log
 set -x
-cd "$(dirname "$0")/.."
+P=/root/repo
+export PYTHONPATH=$P:${PYTHONPATH:-}
+export NEO_MPC_COMPILE_CACHE=/tmp/neo_xla_cache
+cd "$P"
 
 echo "=== 1. full bench, map 64 (new rows live here) ==="
-timeout 590 python -u bench.py || true
+BENCH_DEADLINE_S=1100 timeout 1150 python -u bench.py || true
 
 echo "=== 2. full bench, map 128 / u8 auto (dynamic + updates rows) ==="
-timeout 590 python -u bench.py --map-size 128 --costmap-u8 auto || true
+BENCH_DEADLINE_S=1100 timeout 1150 python -u bench.py --map-size 128 --costmap-u8 auto || true
 
 echo "=== 3. dynamic decomposition at map 128 (synthesis-only timing) ==="
-timeout 420 python -u scripts/dyn_decompose.py --map-size 128 || true
-timeout 420 python -u scripts/dyn_decompose.py --map-size 64 || true
+timeout 600 python -u scripts/dyn_decompose.py --map-size 128 || true
+timeout 600 python -u scripts/dyn_decompose.py --map-size 64 || true
 
 echo "=== 4. quad-interp A/B at the cap-8 point (fidelity gated) ==="
-timeout 590 python -u scripts/sweep_ls.py --combos 0.5:7:2:0.0625 || true
-timeout 590 python -u scripts/sweep_ls.py --combos 0.5:7:2:0.0625 --quad-interp || true
+timeout 850 python -u scripts/sweep_ls.py --combos 0.5:7:2:0.0625 || true
+timeout 850 python -u scripts/sweep_ls.py --combos 0.5:7:2:0.0625 --quad-interp || true
 
 echo "=== done ==="

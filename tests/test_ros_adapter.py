@@ -116,6 +116,54 @@ def test_occupancy_grid_translation(cfg):
     assert r["ok"] and r["shape"] == [2, 3]
 
 
+def test_occupancy_grid_update_translation(cfg):
+    """map_msgs/OccupancyGridUpdate -> set_costmap_update op; applying it to
+    a staged session equals restaging the full grid with the block painted
+    in (the update path is bit-identical to a restage)."""
+    base = np.zeros((24, 24), np.float32)
+    upd = NS(x=5, y=8, width=3, height=2, data=[100, 50, 0, -1, 25, 75])
+    op = ra.occupancy_grid_update_to_msg(upd)
+    assert op["op"] == "set_costmap_update" and op["lo"] == [5, 8]
+    np.testing.assert_allclose(op["data"], [[1.0, 0.5, 0.0],
+                                            [1.0, 0.25, 0.75]])
+
+    s = OptimizerSession(cfg)
+    assert "error" in s.handle(op)  # no grid staged yet -> explicit error
+    s.handle({"op": "set_costmap", "data": base.tolist(),
+              "origin": [-0.6, -0.6], "resolution": 0.05})
+    assert s.handle(op)["ok"]
+    want = base.copy()
+    want[8:10, 5:8] = op["data"]
+    np.testing.assert_allclose(np.asarray(s.costmap.data), want)
+
+
+def test_costmap_refresh_op_diff():
+    """costmap_refresh_op: full stage on first/geometry-change, None when
+    unchanged, dirty-bbox set_costmap_update otherwise."""
+    meta = ((-1.0, -1.0), 0.05)
+    g0 = np.zeros((32, 32), np.float32)
+    op = ra.costmap_refresh_op(None, None, g0, meta)
+    assert op["op"] == "set_costmap" and op["resolution"] == 0.05
+
+    assert ra.costmap_refresh_op(g0, meta, g0.copy(), meta) is None
+
+    g1 = g0.copy()
+    g1[10, 4] = 0.7
+    g1[12, 9] = 1.0
+    op = ra.costmap_refresh_op(g0, meta, g1, meta)
+    assert op["op"] == "set_costmap_update"
+    assert op["lo"] == [4, 10] and op["data"].shape == (3, 6)
+    # Applying the diff op reproduces g1 exactly.
+    patched = g0.copy()
+    y, x = op["lo"][1], op["lo"][0]
+    patched[y:y + op["data"].shape[0], x:x + op["data"].shape[1]] = op["data"]
+    np.testing.assert_array_equal(patched, g1)
+
+    # Geometry moved (rolling local costmap re-anchoring): full restage.
+    op = ra.costmap_refresh_op(g1, meta, g1, ((-0.9, -1.0), 0.05))
+    assert op["op"] == "set_costmap"
+
+
 def test_rclpy_shell_import_guarded():
     assert not ra.HAVE_RCLPY  # this environment has no ROS
     with pytest.raises(ImportError, match="rclpy"):

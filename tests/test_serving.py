@@ -413,6 +413,25 @@ def test_serving_state_checkpoint_roundtrip(cfg, tmp_path):
         np.testing.assert_allclose(a["output_vel"], b["output_vel"],
                                    atol=1e-6)
 
+    # save_state with an unknown robot id errors instead of silently
+    # creating a fresh slot (slot creation runs LRU eviction against real
+    # robots, and the checkpoint would hold init_state, not the intended
+    # robot's warm start). The slot count must not grow.
+    s5 = staged()
+    s5.handle(dict(req, robot="robot7"))
+    n_slots = s5.handle({"op": "ping"})["slots"]
+    r = s5.handle({"op": "save_state", "path": "typo.npz", "robot": "robot-7"})
+    assert "error" in r and "robot-7" in r["error"]
+    assert s5.handle({"op": "ping"})["slots"] == n_slots
+    assert s5.handle({"op": "save_state", "path": "ok.npz",
+                      "robot": "robot7"})["ok"]
+    # load_state MAY create the slot: restoring onto a fresh server is the
+    # whole point of the checkpoint (test above relies on it for the
+    # default slot; named robots behave the same).
+    s6 = staged()
+    assert s6.handle({"op": "load_state", "path": "ok.npz",
+                      "robot": "robot7"})["ok"]
+
 
 def test_concurrent_clients(cfg):
     """Multiple robot processes connect SIMULTANEOUSLY (the reference's ROS
@@ -766,8 +785,9 @@ class TestSlotLifecycle:
         for th in threads:
             th.join(60)
         assert not errs, errs
-        # Churn (40 distinct ids through a 16-slot cap) never bled into the
-        # hero's default slot: its 3 commands match the dedicated session.
+        # Churn (40 distinct ids against the 64-slot cap — wide enough that
+        # the hero's default slot is never evicted) never bled into the
+        # hero's slot: its 3 commands match the dedicated session.
         np.testing.assert_allclose(got, ref_cmds, atol=1e-6)
         assert hero.call({"op": "ping"})["slots"] <= 64
         hero.close()
@@ -851,6 +871,15 @@ class TestCostmapUpdate:
         # win_lo without a configured window.
         assert "error" in s.handle({"op": "set_costmap_update",
                                     "win_lo": [0, 0]})
+        # Non-finite cells: same wire-boundary NaN/Inf policy as the full
+        # set_costmap stage — reject, don't poison the staged map.
+        bad = np.ones((4, 4))
+        bad[1, 2] = np.nan
+        assert "error" in s.handle({"op": "set_costmap_update",
+                                    "data": bad.tolist(), "lo": [0, 0]})
+        bad[1, 2] = np.inf
+        assert "error" in s.handle({"op": "set_costmap_update",
+                                    "data": bad.tolist(), "lo": [0, 0]})
         # Bad window staging.
         assert "error" in s.handle({"op": "set_costmap", 
                                     "data": np.zeros((48, 48)).tolist(),

@@ -429,6 +429,41 @@ class TestCostmapUpdateRegime:
         np.testing.assert_array_equal(cmds[blocked],
                                       np.zeros((int(blocked.sum()), 3)))
 
+    def test_chained_segments_resume_updated_map(self, cfg):
+        """Chaining two costmap_updates segments through (init=,
+        final_costmap, advanced centers) reproduces one longer run exactly.
+        Rebuilding from the pristine scenario_batch.costmap instead would
+        silently discard the first segment's painted cells (round-4 review
+        finding) — final_costmap is the documented resume handle."""
+        from neo_mpc_planner2_tpu.simulation import batch_simulate
+        sb = self._sb(cfg)
+        B = sb.robot_pose.shape[0]
+        centers = jnp.tile(jnp.asarray([[0.45, -0.3]], jnp.float32), (B, 1))
+        amp = jnp.full((B,), 0.9)
+        vel = jnp.tile(jnp.asarray([[0.25, 0.2]], jnp.float32), (B, 1))
+        updates = (centers, amp, vel)
+        full = batch_simulate(cfg, sb, 6, costmap_updates=updates,
+                              update_cells=12)
+        assert full.final_costmap is not None
+
+        a = batch_simulate(cfg, sb, 3, costmap_updates=updates,
+                           update_cells=12)
+        dt = cfg.control_interval
+        # The tick clock restarts per call: advance the centers by the first
+        # segment's elapsed time, resume the state AND the updated map.
+        upd_b = (centers + 3 * dt * vel, amp, vel)
+        b = batch_simulate(cfg, sb, 3,
+                           costmap_updates=upd_b, update_cells=12,
+                           init_costmap=a.final_costmap,
+                           init=(a.final_state, a.poses[:, -1],
+                                 a.cmds[:, -1]))
+        np.testing.assert_allclose(
+            np.asarray(jnp.concatenate([a.cmds, b.cmds], axis=1)),
+            np.asarray(full.cmds), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(b.final_costmap.data),
+                                   np.asarray(full.final_costmap.data),
+                                   atol=1e-6)
+
     def test_updates_compose_with_rolling_view(self, cfg):
         """Updates + zero-copy rolling window = the full deployment shape:
         world map carried and updated, window following the robot."""

@@ -204,21 +204,29 @@ def prox_fista(
 
         # Backtracking on the smooth part: grow L until
         # f(p) ≤ f(y) + ⟨∇f(y), p−y⟩ + L/2‖p−y‖² at p = prox(y − ∇f/L, L).
+        # Two lockstep-vmap rules (same fixes as the SQP line search,
+        # PERF.md round 2): (1) gate on ~s.done — under vmap a DONE lane
+        # still executes this inner loop and its (discarded) iterates can
+        # demand the full backtrack budget, inflating every alive lane's
+        # trip count; (2) carry f_smooth(p) so each trip evaluates the
+        # objective once, not twice (cond re-eval). Neither changes any
+        # lane's result — done-lane compute is select-discarded anyway.
         def bt_cond(c):
-            L, p, _, j = c
+            L, p, fp, j = c
             d = p - s.y
             ub = fy + jnp.vdot(gy, d) + 0.5 * L * jnp.vdot(d, d)
-            return (f_smooth(p) > ub + 1e-12) & (j < max_backtracks)
+            return (~s.done) & (fp > ub + 1e-12) & (j < max_backtracks)
 
         def bt_body(c):
             L, _, _, j = c
             Ln = L * eta
             pn = prox(s.y - gy / Ln, Ln)
-            return (Ln, pn, F(pn), j + 1)
+            return (Ln, pn, f_smooth(pn), j + 1)
 
         p0 = prox(s.y - gy / s.L, s.L)
-        L, p, Fp, _ = jax.lax.while_loop(bt_cond, bt_body, (s.L, p0, F(p0), jnp.int32(0)))
-        Fp = F(p)
+        L, p, fp, _ = jax.lax.while_loop(
+            bt_cond, bt_body, (s.L, p0, f_smooth(p0), jnp.int32(0)))
+        Fp = fp + g_ctrl(p)
 
         # Monotone variant + adaptive restart: reject steps that increase F.
         restart = Fp > s.F_x

@@ -505,7 +505,13 @@ def _main() -> None:
                                "(needs a fresh compile)")
         cfg40 = cfg.replace(solver_max_iters=40, solver_max_backtracks=16,
                             solver_ls_coarse_after=0,
+                            solver_ls_quad_interp=False,
                             solver_compact_adaptive=False)
+        # solver_ls_quad_interp pinned to the library default (False) so this
+        # row keeps measuring default_config's program after fleet_config
+        # shipped quad-interp on. (Measured once inherited=True at this
+        # point: 573.5k vs 459.6k — quad-interp is worth +25 % at the
+        # max_iters=40 budget too; enable it via fleet_config or the flag.)
         sim40 = jax.jit(lambda b, t: batch_simulate(cfg40, b, t),
                         static_argnums=1)
         run40 = sim40(sb, args.ticks)

@@ -293,6 +293,12 @@ def fleet_config() -> MpcConfig:
       0.0039 / 91.5 % lanes within 0.01 (round-3 line-search study).
     - solver_costmap_u8="auto": uint8 gather source for >=128² maps (the
       measured crossover; value-exact for nav2 raw-grid maps).
+    - solver_ls_quad_interp=True: quadratic-interpolation backtracking.
+      Measured at this operating point: 636.6k vs 626.9k solves/s (+1.5 %)
+      AND tighter fidelity (cmd-diff p99 0.0021 vs 0.0039, lanes<0.01
+      0.938 vs 0.917, unconverged 0.42 % vs 0.44 %) — the interpolated
+      alpha both accepts earlier and lands nearer the cap-40 solution
+      (round-4 A/B, scripts/round4_batch.sh step 4).
     (Adaptive lockstep compaction was measured at this point and LOSES
     3-7 % — the warm alive-set does not collapse early enough to pay for
     the batch-level loop restructuring; PERF.md round 8 — so it stays off.)
@@ -306,6 +312,7 @@ def fleet_config() -> MpcConfig:
         solver_ls_coarse_after=2,
         solver_ls_coarse_factor=0.0625,
         solver_costmap_u8="auto",
+        solver_ls_quad_interp=True,
     )
 
 

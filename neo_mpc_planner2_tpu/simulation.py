@@ -17,7 +17,8 @@ import jax.numpy as jnp
 
 from .config import MpcConfig
 from .engine import ControlState, controller_step, init_state
-from .ops.costmap import Costmap, u8_source_enabled, world_to_map
+from .ops.costmap import (Costmap, extract_window_onehot, u8_source_enabled,
+                          world_to_map)
 from .ops.footprint import Footprint
 from .ops.pursuit import Plan
 from .ops.rollout import rollout
@@ -299,8 +300,12 @@ def batch_simulate(cfg: MpcConfig, scenario_batch, n_ticks: int,
                   + (wys[:, :, None] - ct[:, 1, None, None]) ** 2)  # (B, U, U)
             blob = jnp.clip(upd_a[:, None, None]
                             * jnp.exp(-d2 / (2 * 0.08)), 0.0, 1.0)
+            # One-hot window extraction, not vmapped dynamic_slice: the
+            # batched slice lowers to a latency-bound gather (measured
+            # 8 ms/tick of the regime's 9 — the content synthesis dwarfed
+            # the update itself; /tmp probe, PERF.md round 10).
             base_win = jax.vmap(
-                lambda d, y, x: jax.lax.dynamic_slice(d, (y, x), (U, U)))(
+                lambda d, y, x: extract_window_onehot(d, y, x, U, U))(
                 base_data, cy, cx)
             val = jnp.maximum(base_win, blob)
             if obstacle_lethal_threshold is not None:

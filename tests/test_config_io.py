@@ -148,7 +148,7 @@ def test_fleet_config_preset():
              if getattr(fast, f.name) != getattr(base, f.name)}
     assert diffs == {"solver_max_iters", "solver_max_backtracks",
                      "solver_ls_coarse_after", "solver_ls_coarse_factor",
-                     "solver_costmap_u8"}
+                     "solver_costmap_u8", "solver_ls_quad_interp"}
     cfg = fast.replace(opt_tolerance=1e-3, footprint_edge_samples=8,
                        max_plan_points=32)
     sb = make_scenario_batch(cfg, 8, seed=3, map_size=32, plan_points=24,

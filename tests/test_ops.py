@@ -237,6 +237,37 @@ class TestCostmapFlatView:
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+class TestExtractWindowOnehot:
+    """extract_window_onehot — the gather-free batched dynamic_slice (a
+    vmapped dynamic_slice lowers to a lane-serialized gather on TPU)."""
+
+    def test_matches_dynamic_slice(self):
+        from neo_mpc_planner2_tpu.ops.costmap import extract_window_onehot
+        rng = np.random.default_rng(7)
+        data = rng.uniform(0, 1, (37, 53)).astype(np.float32)
+        d = jnp.asarray(data)
+        for (row, col, hc, wc) in [(0, 0, 5, 8), (31, 44, 6, 9),
+                                   (12, 3, 1, 1), (0, 48, 37, 5)]:
+            got = extract_window_onehot(d, jnp.int32(row), jnp.int32(col),
+                                        hc, wc)
+            want = jax.lax.dynamic_slice(d, (row, col), (hc, wc))
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_batched_per_lane_offsets(self):
+        from neo_mpc_planner2_tpu.ops.costmap import extract_window_onehot
+        rng = np.random.default_rng(8)
+        B, H, W, U = 5, 24, 30, 7
+        data = rng.uniform(0, 1, (B, H, W)).astype(np.float32)
+        rows = rng.integers(0, H - U, B).astype(np.int32)
+        cols = rng.integers(0, W - U, B).astype(np.int32)
+        got = jax.vmap(lambda d, r, c: extract_window_onehot(d, r, c, U, U))(
+            jnp.asarray(data), jnp.asarray(rows), jnp.asarray(cols))
+        for b in range(B):
+            np.testing.assert_array_equal(
+                np.asarray(got[b]),
+                data[b, rows[b]:rows[b] + U, cols[b]:cols[b] + U])
+
+
 class TestUpdateWindow:
     """Costmap.update_window — the incremental (dirty-window) update path the
     reference inherits from its live ROS costmap (round-3 verdict item 2)."""

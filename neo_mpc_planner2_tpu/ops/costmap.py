@@ -151,6 +151,12 @@ class Costmap:
         # agree exactly (the same clamped corner feeds both).
         hh, ww = self.data.shape[-2], self.data.shape[-1]
         hc, wc = cells.shape[-2], cells.shape[-1]
+        if hc > hh or wc > ww:
+            # The dynamic_update_slice formulation rejected this at trace
+            # time (slice sizes must fit the operand); the one-hot blend
+            # would silently write zeros instead — keep it an error.
+            raise ValueError(
+                f"update block {(hc, wc)} exceeds the map {(hh, ww)}")
         col = jnp.clip(lo[..., 0], 0, ww - wc)
         row = jnp.clip(lo[..., 1], 0, hh - hc)
         # SCATTER-FREE write. The natural dynamic_update_slice becomes a

@@ -117,10 +117,16 @@ def main() -> None:
         sim = jax.jit(lambda b, t: batch_simulate(cfg, b, t), static_argnums=1)
         run = sim(sb, args.ticks)
         sync(run.cmds)  # compile + warm
-        t0 = time.perf_counter()
-        run = sim(sb, args.ticks)
-        sync(run.cmds)
-        dt = time.perf_counter() - t0
+        # Min of 3: the timed segment ends in a host fetch through the
+        # tunnel, and a single tunnel stall (seconds on a bad day) would
+        # otherwise poison a single-rep number (seen: a 20x phantom
+        # "collapse" at batch 8192 that vanished on re-measure).
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run = sim(sb, args.ticks)
+            sync(run.cmds)
+            dt = min(dt, time.perf_counter() - t0)
         sps = args.batch * args.ticks / dt
         unconv = float(1.0 - jnp.mean(jnp.asarray(run.converged, jnp.float32)))
 

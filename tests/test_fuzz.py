@@ -73,6 +73,38 @@ def test_engine_fuzz(seed):
         pose = mpc.rollout(out.cmd_vel[None, :], jnp.float32(0.033), pose)[0]
 
 
+@pytest.mark.parametrize("seed", [20, 21])
+def test_update_window_fuzz(seed):
+    """Randomized update_window geometry (shapes, block sizes, clamped /
+    in-range corners, u8 on/off): the one-hot blended write must equal a
+    full numpy restage on data AND every cached view, bit-for-bit."""
+    rng = np.random.default_rng(seed)
+    for _ in range(8):
+        H = int(rng.integers(9, 70))
+        W = int(rng.integers(9, 70))
+        hc = int(rng.integers(1, H + 1))
+        wc = int(rng.integers(1, W + 1))
+        u8 = bool(rng.integers(0, 2))
+        data = rng.uniform(0, 1, (H, W)).astype(np.float32)
+        cm = mpc.Costmap.create(data, origin=(-1.0, -1.0),
+                                resolution=0.05).with_flat(u8=u8)
+        block = rng.uniform(0, 1, (hc, wc)).astype(np.float32)
+        # Corner may be negative or push the block past the edge: the write
+        # clamps like dynamic_update_slice.
+        lo = (int(rng.integers(-3, W + 3)), int(rng.integers(-3, H + 3)))
+        out = cm.update_window(jnp.asarray(block), lo)
+        col = np.clip(lo[0], 0, W - wc)
+        row = np.clip(lo[1], 0, H - hc)
+        want = data.copy()
+        want[row:row + hc, col:col + wc] = block
+        np.testing.assert_array_equal(np.asarray(out.data), want)
+        np.testing.assert_array_equal(np.asarray(out.flat), want.reshape(-1))
+        if u8:
+            want_u8 = np.clip(np.round(want * 255.0), 0, 255).astype(np.uint8)
+            np.testing.assert_array_equal(np.asarray(out.flat_u8),
+                                          want_u8.reshape(-1))
+
+
 @pytest.mark.parametrize("seed", [10, 11])
 def test_rolling_view_fuzz(seed):
     """Randomized world/window geometry: the zero-copy rolling view must

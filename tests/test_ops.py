@@ -272,6 +272,17 @@ class TestUpdateWindow:
     """Costmap.update_window — the incremental (dirty-window) update path the
     reference inherits from its live ROS costmap (round-3 verdict item 2)."""
 
+    def test_oversize_block_rejected(self):
+        """A block larger than the map must raise (the dynamic_update_slice
+        formulation rejected it at trace time; the one-hot blend would
+        silently write zeros)."""
+        import pytest
+        cm = mpc.Costmap.create(np.zeros((8, 8), np.float32))
+        with pytest.raises(ValueError, match="exceeds the map"):
+            cm.update_window(jnp.ones((9, 4)), (0, 0))
+        with pytest.raises(ValueError, match="exceeds the map"):
+            cm.update_window(jnp.ones((4, 9)), (0, 0))
+
     def _rand_cm(self, seed=11, shape=(48, 64), flat=False, u8=False):
         rng = np.random.default_rng(seed)
         data = rng.uniform(0, 0.9, shape).astype(np.float32)

@@ -163,20 +163,18 @@ class Costmap:
         # scatter under vmap (per-lane offsets), and TPU scatters serialize:
         # the batch-4096 update regime measured 225 ms/tick on 17 of them
         # (1 block + 16 flat-row writes). Instead build a full-size canvas
-        # holding the patch at its offset via one-hot contractions — the
-        # same MXU idiom as cost_at_cells_onehot, exact because every output
-        # picks exactly one cell (Precision.HIGHEST: the bf16-triple split
-        # is exact for 0/1 factors) — then blend with elementwise `where`.
-        # Pure MXU + bandwidth work, no scatter anywhere, and the flat/u8
-        # views refresh from the same canvas (reshape, not re-layout logic).
+        # holding the patch at its offset via the ADJOINT of
+        # extract_window_onehot (same one-hot factors, transposed
+        # contraction; Precision.HIGHEST keeps picked values bit-exact) —
+        # then blend with elementwise `where`. Pure MXU + bandwidth work,
+        # no scatter anywhere, and the flat/u8 views refresh from the same
+        # canvas (reshape, not re-layout logic).
         ri = jax.lax.broadcasted_iota(jnp.int32, (hh, ww), 0)
         ci = jax.lax.broadcasted_iota(jnp.int32, (hh, ww), 1)
         inw = ((ri >= row) & (ri < row + hc)
                & (ci >= col) & (ci < col + wc))
-        rows1h = (row + jnp.arange(hc)[:, None]
-                  == jnp.arange(hh)[None, :]).astype(self.data.dtype)  # (hc,H)
-        cols1h = (col + jnp.arange(wc)[:, None]
-                  == jnp.arange(ww)[None, :]).astype(self.data.dtype)  # (wc,W)
+        rows1h, cols1h = _window_onehots(row, col, hc, wc, hh, ww,
+                                         self.data.dtype)
         patch = jnp.dot(
             rows1h.T,
             jnp.dot(cells, cols1h, precision=jax.lax.Precision.HIGHEST,
@@ -402,6 +400,18 @@ class CostmapPatch:
     cell0: jnp.ndarray
 
 
+def _window_onehots(row, col, hc: int, wc: int, hh: int, ww: int, dtype):
+    """The (hc, H)/(wc, W) one-hot factors shared by the window WRITE
+    (update_window's patch canvas) and the window READ
+    (extract_window_onehot) — one construction so the two paths cannot
+    silently diverge in dtype/precision handling."""
+    rows1h = (row + jnp.arange(hc)[:, None]
+              == jnp.arange(hh)[None, :]).astype(dtype)        # (hc, H)
+    cols1h = (col + jnp.arange(wc)[:, None]
+              == jnp.arange(ww)[None, :]).astype(dtype)        # (wc, W)
+    return rows1h, cols1h
+
+
 def extract_window_onehot(data: jnp.ndarray, row, col,
                           hc: int, wc: int) -> jnp.ndarray:
     """(hc, wc) window of `data` whose corner is (row, col) — the
@@ -414,10 +424,7 @@ def extract_window_onehot(data: jnp.ndarray, row, col,
     split is exact for 0/1 factors). Caller clamps (row, col) in-range.
     Unbatched (H, W) here; batch via vmap."""
     hh, ww = data.shape[-2], data.shape[-1]
-    r1h = (row + jnp.arange(hc)[:, None]
-           == jnp.arange(hh)[None, :]).astype(data.dtype)      # (hc, H)
-    c1h = (col + jnp.arange(wc)[:, None]
-           == jnp.arange(ww)[None, :]).astype(data.dtype)      # (wc, W)
+    r1h, c1h = _window_onehots(row, col, hc, wc, hh, ww, data.dtype)
     t = jnp.dot(r1h, data, precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)            # (hc, W)
     return jnp.dot(t, c1h.T, precision=jax.lax.Precision.HIGHEST,

@@ -179,6 +179,13 @@ def occupancy_grid_update_to_msg(msg: Any) -> dict:
     }
 
 
+def _pow2_at_least(n: int, cap: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return min(p, cap)
+
+
 def costmap_refresh_op(prev_grid, prev_meta, grid, meta) -> Optional[dict]:
     """Cheapest serving op that brings the staged map from `prev_grid` to
     `grid` ((H, W) float32 cost arrays; meta = (origin_xy, resolution)).
@@ -190,7 +197,15 @@ def costmap_refresh_op(prev_grid, prev_meta, grid, meta) -> Optional[dict]:
     previous grid and send only the dirty bounding box. Returns None when
     nothing changed; falls back to the full set_costmap op when there is no
     previous grid or the geometry moved (shape/origin/resolution — e.g. a
-    rolling local costmap re-anchoring its origin)."""
+    rolling local costmap re-anchoring its origin).
+
+    The dirty block is PADDED to power-of-two dimensions (clamped to the
+    grid, corner shifted to stay in bounds): the serving session's update
+    executable is shape-specialized (jit), so raw data-dependent bbox
+    shapes would recompile on nearly every message — minutes-scale stalls
+    on a tunneled TPU backend. Padding bounds the distinct shapes at
+    (log2 H + 1)·(log2 W + 1); padded cells carry `grid` values identical
+    to what is already staged, so the write stays value-exact."""
     import numpy as np
 
     if prev_grid is None or prev_meta != meta or prev_grid.shape != grid.shape:
@@ -199,11 +214,15 @@ def costmap_refresh_op(prev_grid, prev_meta, grid, meta) -> Optional[dict]:
     diff = prev_grid != grid
     if not diff.any():
         return None
+    H, W = grid.shape
     rows = np.flatnonzero(diff.any(axis=1))
     cols = np.flatnonzero(diff.any(axis=0))
-    r0, r1 = int(rows[0]), int(rows[-1]) + 1
-    c0, c1 = int(cols[0]), int(cols[-1]) + 1
-    return {"op": "set_costmap_update", "data": grid[r0:r1, c0:c1],
+    r0, c0 = int(rows[0]), int(cols[0])
+    ph = _pow2_at_least(int(rows[-1]) + 1 - r0, H)
+    pw = _pow2_at_least(int(cols[-1]) + 1 - c0, W)
+    r0 = min(r0, H - ph)
+    c0 = min(c0, W - pw)
+    return {"op": "set_costmap_update", "data": grid[r0:r0 + ph, c0:c0 + pw],
             "lo": [c0, r0]}
 
 
@@ -277,29 +296,48 @@ class RosOptimizerServer:
         self.session.handle({"op": "set_footprint",
                              "points": footprint_msg_to_points(msg)})
 
+    def _apply_refresh(self, grid, meta) -> None:
+        """Stage `grid` via the cheapest op; keep the diff baseline in sync
+        with what the device ACTUALLY holds. On a rejected stage the
+        baseline is dropped (None) so the next message full-restages —
+        silently advancing it would exclude this message's delta from every
+        future dirty-bbox diff, leaving the staged map permanently stale."""
+        op = costmap_refresh_op(self._last_grid, self._last_meta, grid, meta)
+        if op is not None:
+            r = self.session.handle(op)
+            if "error" in r:
+                self.node.get_logger().warn(
+                    f"costmap stage rejected: {r['error']}")
+                self._last_grid, self._last_meta = None, None
+                return
+        self._last_grid, self._last_meta = grid, meta
+
     def _on_costmap(self, msg: Any) -> None:
         info = msg.info
         grid = occupancy_values_to_cost(msg.data, int(info.height),
                                         int(info.width))
         meta = ((float(info.origin.position.x),
                  float(info.origin.position.y)), float(info.resolution))
-        op = costmap_refresh_op(self._last_grid, self._last_meta, grid, meta)
-        if op is not None:
-            self.session.handle(op)
-        self._last_grid, self._last_meta = grid, meta
+        self._apply_refresh(grid, meta)
 
     def _on_costmap_update(self, msg: Any) -> None:
         op = occupancy_grid_update_to_msg(msg)
-        r = self.session.handle(op)
-        if "error" in r:  # no full grid staged yet: drop until one arrives
+        if self._last_grid is None:
+            # No full grid seen yet: forward best-effort (another client may
+            # have staged one); the serving session errors harmlessly if not.
+            self.session.handle(op)
             return
-        if self._last_grid is not None:
-            # Keep the diff baseline consistent with the staged device map.
-            h, w = op["data"].shape
-            x, y = op["lo"]
-            if y + h <= self._last_grid.shape[0] and \
-                    x + w <= self._last_grid.shape[1]:
-                self._last_grid[y:y + h, x:x + w] = op["data"]
+        h, w = op["data"].shape
+        x, y = op["lo"]
+        if y + h > self._last_grid.shape[0] or x + w > self._last_grid.shape[1]:
+            self.node.get_logger().warn("costmap update outside the grid")
+            return
+        # Merge into the baseline and restage through the padded-bbox diff
+        # path — same canonical block shapes as full-grid messages, so the
+        # serving executable set stays bounded.
+        grid = self._last_grid.copy()
+        grid[y:y + h, x:x + w] = op["data"]
+        self._apply_refresh(grid, self._last_meta)
 
     def _on_params(self, params) -> Any:
         from rcl_interfaces.msg import SetParametersResult  # type: ignore

@@ -1082,7 +1082,12 @@ class OptimizerClient:
         self.f = self.sock.makefile("rwb")
 
     def call(self, msg: dict) -> dict:
-        self.f.write(json.dumps(msg).encode() + b"\n")
+        # default=: ops composed from the translation helpers (ros_adapter's
+        # occupancy_grid_*/costmap_refresh_op) carry numpy arrays in "data";
+        # encode them as nested lists so the documented
+        # translate-then-OptimizerClient composition works over the wire.
+        self.f.write(json.dumps(
+            msg, default=lambda o: o.tolist()).encode() + b"\n")
         self.f.flush()
         line = self.f.readline()
         if not line:

@@ -355,6 +355,20 @@ def batch_simulate(cfg: MpcConfig, scenario_batch, n_ticks: int,
         # hoisted-flat map so updates refresh it in place across ticks.
         # init_costmap resumes a previous segment's carried map (its hoisted
         # views come along) while base_data above stays the pristine belief.
+        if init_costmap is not None:
+            # The update windows are indexed from the CARRIED map's
+            # origin/resolution while base windows read base_data from
+            # scenario_batch.costmap — a geometry-mismatched resume handle
+            # would gather cells from the wrong frame with no error. Shapes
+            # are static, so at least that much is checked here; keep the
+            # origin/resolution identical too (they are traced values).
+            if init_costmap.data.shape != costmap.data.shape:
+                raise ValueError(
+                    f"init_costmap shape {init_costmap.data.shape} != "
+                    f"scenario costmap shape {costmap.data.shape}")
+            if init_costmap.flat is None or (u8 and init_costmap.flat_u8
+                                             is None):
+                init_costmap = init_costmap.with_flat(u8=u8)
         init_carry = (state0, pose0, vel0,
                       costmap if init_costmap is None else init_costmap)
     elif init_costmap is not None:

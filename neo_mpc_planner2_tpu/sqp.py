@@ -521,6 +521,15 @@ def _make_sqp(
     coarse = float(cfg.solver_ls_coarse_factor)
     warm_ls = bool(cfg.solver_ls_warm_alpha)
     quad_ls = bool(cfg.solver_ls_quad_interp)
+    if quad_ls and (parallel_ls or ls_wave > 1):
+        # Only the sequential branch implements interpolation; the
+        # candidate-grid branches (both measured losers, PERF.md) would
+        # silently drop it — and with quad_ls now default-on in
+        # fleet_config, a silent drop would erase the advertised
+        # fidelity/throughput gains without a trace.
+        raise ValueError(
+            "solver_ls_quad_interp is only implemented for the sequential "
+            "line search; disable it to use parallel_line_search/ls_wave")
 
     def _ls_alpha(j):
         """Candidate alpha after j rejections: bt^min(j,F) · coarse^max(j−F,0)

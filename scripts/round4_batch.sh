@@ -7,7 +7,7 @@
 #   3. quad-interp line-search A/B behind the sweep_ls fidelity gate
 # Usage: bash scripts/round4_batch.sh | tee /tmp/r4batch.log
 set -x
-P=/root/repo
+P="$(cd "$(dirname "$0")/.." && pwd)"
 export PYTHONPATH=$P:${PYTHONPATH:-}
 export NEO_MPC_COMPILE_CACHE=/tmp/neo_xla_cache
 cd "$P"

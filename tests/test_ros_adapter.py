@@ -152,16 +152,57 @@ def test_costmap_refresh_op_diff():
     g1[12, 9] = 1.0
     op = ra.costmap_refresh_op(g0, meta, g1, meta)
     assert op["op"] == "set_costmap_update"
-    assert op["lo"] == [4, 10] and op["data"].shape == (3, 6)
-    # Applying the diff op reproduces g1 exactly.
+    # The true dirty bbox is (3, 6) at [4, 10]; the op pads to power-of-two
+    # dims so the serving session's shape-specialized executable set stays
+    # bounded (a fresh compile per bbox shape would stall a live deployment).
+    assert op["lo"] == [4, 10] and op["data"].shape == (4, 8)
+    # Applying the (padded) diff op reproduces g1 exactly — padded cells
+    # carry values identical to what is already staged.
     patched = g0.copy()
     y, x = op["lo"][1], op["lo"][0]
     patched[y:y + op["data"].shape[0], x:x + op["data"].shape[1]] = op["data"]
     np.testing.assert_array_equal(patched, g1)
+    # Padded shapes are drawn from the bounded power-of-two set.
+    h, w = op["data"].shape
+    assert h & (h - 1) == 0 and w & (w - 1) == 0
+
+    # A dirty cell at the far edge: the padded corner shifts to stay inside.
+    g2 = g1.copy()
+    g2[31, 31] = 0.9
+    g2[29, 30] = 0.8
+    op = ra.costmap_refresh_op(g1, meta, g2, meta)
+    y, x = op["lo"][1], op["lo"][0]
+    h, w = op["data"].shape
+    assert y + h <= 32 and x + w <= 32 and y >= 0 and x >= 0
+    patched = g1.copy()
+    patched[y:y + h, x:x + w] = op["data"]
+    np.testing.assert_array_equal(patched, g2)
 
     # Geometry moved (rolling local costmap re-anchoring): full restage.
     op = ra.costmap_refresh_op(g1, meta, g1, ((-0.9, -1.0), 0.05))
     assert op["op"] == "set_costmap"
+
+
+def test_translation_helpers_compose_with_tcp_client(cfg):
+    """The documented translate-then-OptimizerClient composition must work
+    over the real socket: the helpers put numpy arrays in op['data'], and
+    the client encodes them as nested lists at the wire boundary."""
+    import threading
+
+    from neo_mpc_planner2_tpu.serving import OptimizerClient, serve
+
+    ready = threading.Event()
+    threading.Thread(target=serve, args=("127.0.0.1", 7987, cfg, ready),
+                     daemon=True).start()
+    assert ready.wait(10)
+    c = OptimizerClient(port=7987, wait_timeout=10)
+    grid = NS(info=NS(width=24, height=24, resolution=0.05,
+                      origin=NS(position=NS(x=-0.6, y=-0.6, z=0.0))),
+              data=[0] * (24 * 24))
+    assert c.call(ra.occupancy_grid_to_costmap_msg(grid))["ok"]
+    upd = NS(x=3, y=4, width=2, height=2, data=[100, 100, 100, 100])
+    assert c.call(ra.occupancy_grid_update_to_msg(upd))["ok"]
+    c.close()
 
 
 def test_rclpy_shell_import_guarded():

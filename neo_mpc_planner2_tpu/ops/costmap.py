@@ -146,6 +146,12 @@ class Costmap:
         per-lane `lo` vectors update each lane's own map.
         """
         cells = jnp.asarray(cells, self.data.dtype)
+        # Sanitize non-finite input BEFORE the one-hot contraction: a single
+        # Inf/NaN cell would turn 0·inf terms into NaN across the whole
+        # canvas row/column (unlike the localized dynamic_update_slice this
+        # replaced). Policy matches the serving wire boundary: NaN / +Inf
+        # are unknown/overflow sensor readings → lethal (1.0); -Inf → 0.
+        cells = jnp.nan_to_num(cells, nan=1.0, posinf=1.0, neginf=0.0)
         lo = jnp.asarray(lo, jnp.int32)
         # Clamp the corner ONCE so the (H, W) write and the flat-view writes
         # agree exactly (the same clamped corner feeds both).
@@ -421,9 +427,16 @@ def extract_window_onehot(data: jnp.ndarray, row, col,
     4096×16² windows — the dominant cost of the update regime's content
     synthesis). Two one-hot contractions instead ride the MXU;
     Precision.HIGHEST keeps every picked value bit-exact (the bf16-triple
-    split is exact for 0/1 factors). Caller clamps (row, col) in-range.
-    Unbatched (H, W) here; batch via vmap."""
+    split is exact for 0/1 factors). (row, col) are canonicalized in-range
+    internally with lax.dynamic_slice's exact semantics — negative indices
+    wrap from the end, then clamp to [0, dim − size] — so this is a drop-in
+    for the slice it replaces (an out-of-range one-hot would otherwise
+    silently read zeros). Unbatched (H, W) here; batch via vmap."""
     hh, ww = data.shape[-2], data.shape[-1]
+    row = jnp.asarray(row, jnp.int32)
+    col = jnp.asarray(col, jnp.int32)
+    row = jnp.clip(jnp.where(row < 0, row + hh, row), 0, hh - hc)
+    col = jnp.clip(jnp.where(col < 0, col + ww, col), 0, ww - wc)
     r1h, c1h = _window_onehots(row, col, hc, wc, hh, ww, data.dtype)
     t = jnp.dot(r1h, data, precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)            # (hc, W)

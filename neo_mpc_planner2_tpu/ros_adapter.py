@@ -330,7 +330,15 @@ class RosOptimizerServer:
         h, w = op["data"].shape
         x, y = op["lo"]
         if y + h > self._last_grid.shape[0] or x + w > self._last_grid.shape[1]:
+            # Update window exceeds the last staged grid — after a geometry
+            # change, updates for the NEW grid can race ahead of the full
+            # grid message (nav2 publishes full grids periodically, updates
+            # in between; ordering between the two topics is not
+            # guaranteed). Drop the diff baseline so the next full grid
+            # restages UNCONDITIONALLY — otherwise every update until then
+            # would diff against (and silently merge into) stale geometry.
             self.node.get_logger().warn("costmap update outside the grid")
+            self._last_grid, self._last_meta = None, None
             return
         # Merge into the baseline and restage through the padded-bbox diff
         # path — same canonical block shapes as full-grid messages, so the

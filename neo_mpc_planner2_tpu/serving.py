@@ -1060,6 +1060,19 @@ def serve(host: str = "127.0.0.1", port: int = 7180,
         srv.serve_forever()
 
 
+def _json_default(o):
+    """json.dumps fallback: ops composed from the translation helpers
+    (ros_adapter's occupancy_grid_*/costmap_refresh_op) carry numpy arrays
+    in "data" — encode them as nested lists so the documented
+    translate-then-OptimizerClient composition works over the wire. Anything
+    else raises the standard TypeError naming the offending type (not the
+    opaque AttributeError a bare `o.tolist()` would)."""
+    if hasattr(o, "tolist"):
+        return o.tolist()
+    raise TypeError(f"Object of type {type(o).__name__} "
+                    "is not JSON serializable")
+
+
 class OptimizerClient:
     """Minimal blocking client — the stand-in for the plugin's service client
     (NeoMpcPlanner.cpp:308, :248-250), with the same wait-for-service loop
@@ -1082,12 +1095,7 @@ class OptimizerClient:
         self.f = self.sock.makefile("rwb")
 
     def call(self, msg: dict) -> dict:
-        # default=: ops composed from the translation helpers (ros_adapter's
-        # occupancy_grid_*/costmap_refresh_op) carry numpy arrays in "data";
-        # encode them as nested lists so the documented
-        # translate-then-OptimizerClient composition works over the wire.
-        self.f.write(json.dumps(
-            msg, default=lambda o: o.tolist()).encode() + b"\n")
+        self.f.write(json.dumps(msg, default=_json_default).encode() + b"\n")
         self.f.flush()
         line = self.f.readline()
         if not line:

@@ -253,6 +253,19 @@ class TestExtractWindowOnehot:
             want = jax.lax.dynamic_slice(d, (row, col), (hc, wc))
             np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
+    def test_out_of_range_corner_clamps(self):
+        """Out-of-range (row, col) clamp to the dynamic_slice corner (the
+        one-hot would otherwise silently read zeros — advisor round 4)."""
+        from neo_mpc_planner2_tpu.ops.costmap import extract_window_onehot
+        rng = np.random.default_rng(9)
+        data = rng.uniform(0, 1, (20, 25)).astype(np.float32)
+        d = jnp.asarray(data)
+        for (row, col) in [(-3, 5), (5, -2), (18, 5), (5, 23), (99, -99)]:
+            got = extract_window_onehot(d, jnp.int32(row), jnp.int32(col),
+                                        4, 6)
+            want = jax.lax.dynamic_slice(d, (row, col), (4, 6))
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
     def test_batched_per_lane_offsets(self):
         from neo_mpc_planner2_tpu.ops.costmap import extract_window_onehot
         rng = np.random.default_rng(8)
@@ -392,6 +405,26 @@ class TestUpdateWindow:
         np.testing.assert_array_equal(
             np.asarray(cost_at_world(moved, wx, wy)),
             np.asarray(cost_at_world(fresh, wx, wy)))
+
+    def test_nonfinite_cells_sanitized_locally(self):
+        """NaN/Inf cells must not leak NaN outside the written window (the
+        one-hot canvas would smear 0·inf — advisor round 4). Policy: NaN and
+        +Inf read as lethal 1.0, -Inf as 0.0."""
+        cm, data = self._rand_cm(flat=True, u8=True)
+        block = np.full((4, 4), 0.5, np.float32)
+        block[1, 1] = np.nan
+        block[2, 0] = np.inf
+        block[0, 3] = -np.inf
+        out = cm.update_window(jnp.asarray(block), (10, 20))
+        want = data.copy()
+        clean = block.copy()
+        clean[1, 1] = 1.0
+        clean[2, 0] = 1.0
+        clean[0, 3] = 0.0
+        want[20:24, 10:14] = clean
+        np.testing.assert_array_equal(np.asarray(out.data), want)
+        assert np.all(np.isfinite(np.asarray(out.data)))
+        np.testing.assert_array_equal(np.asarray(out.flat), want.reshape(-1))
 
     def test_update_under_jit(self):
         cm, data = self._rand_cm(flat=True)

@@ -1013,3 +1013,20 @@ class TestShardedFleetServing:
             np.testing.assert_allclose(ra["results"][i]["output_vel"],
                                        rb["results"][i]["output_vel"],
                                        atol=1e-6)
+
+
+def test_json_default_numpy_and_typeerror():
+    """_json_default encodes numpy arrays as lists and raises the standard
+    TypeError (naming the type) for anything else — not the opaque
+    AttributeError a bare `o.tolist()` default did (advisor round 4)."""
+    import json
+
+    import pytest
+
+    from neo_mpc_planner2_tpu.serving import _json_default
+
+    s = json.dumps({"data": np.arange(3, dtype=np.float32)},
+                   default=_json_default)
+    assert json.loads(s) == {"data": [0.0, 1.0, 2.0]}
+    with pytest.raises(TypeError, match="object"):
+        json.dumps({"bad": object()}, default=_json_default)

@@ -4,42 +4,14 @@
 // the lethal gate, and request marshalling. Build+run via
 // scripts/build_native.sh test target or scripts/check_native.sh.
 
+#include "neo_mpc_host.h"
+
 #include <atomic>
 #include <cassert>
 #include <cmath>
 #include <cstdio>
 #include <thread>
 #include <vector>
-
-extern "C" {
-typedef struct { double x, y, yaw; } nmp_pose;
-typedef struct {
-  double lookahead_dist_min, lookahead_dist_max, lookahead_dist_close_to_goal,
-      controller_frequency;
-} nmp_params;
-typedef struct {
-  const float* data; int width, height;
-  double origin_x, origin_y, resolution;
-} nmp_costmap;
-typedef struct {
-  nmp_pose current_pose, carrot_pose, goal_pose;
-  double vel[3];
-  int switch_opt;
-  double control_interval;
-  int slow_down;
-  double footprint_cost, lookahead_dist;
-  int window_begin, window_end;
-} nmp_request;
-
-void* nmp_host_create(const nmp_params*);
-void nmp_host_destroy(void*);
-void nmp_host_set_params(void*, const nmp_params*);
-int nmp_host_set_plan(void*, const nmp_pose*, int);
-int nmp_host_tick(void*, const nmp_pose*, const double*, const nmp_costmap*,
-                  const double*, int, nmp_request*);
-double nmp_footprint_cost(const nmp_costmap*, const double*, int,
-                          const nmp_pose*);
-}
 
 static int checks = 0;
 #define CHECK(cond)                                                   \

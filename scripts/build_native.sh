@@ -24,3 +24,12 @@ TEST_BIN=neo_mpc_planner2_tpu/native/host_test
 g++ -std=c++17 -Wall -Wextra $FLAGS -o "$TEST_BIN" \
     neo_mpc_planner2_tpu/native/src/host_test_main.cpp "$SRC"
 echo "built $TEST_BIN"
+
+# nav2 plugin shim: syntax-check the compile guard (without nav2 headers the
+# TU compiles empty; with a sourced nav2 workspace build the real plugin via
+# neo_mpc_planner2_tpu/native/ros/CMakeLists.txt instead).
+PLUGIN_SRC=neo_mpc_planner2_tpu/native/src/neo_mpc_nav2_plugin.cpp
+PLUGIN_OBJ=$(mktemp /tmp/neo_mpc_nav2_plugin.XXXXXX.o)
+g++ -std=c++17 -Wall -Wextra $FLAGS -c -o "$PLUGIN_OBJ" "$PLUGIN_SRC"
+rm -f "$PLUGIN_OBJ"
+echo "checked $PLUGIN_SRC (nav2 guard branch)"

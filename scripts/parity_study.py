@@ -427,6 +427,11 @@ def main():
     ap.add_argument("--suites", default="mpo700,mpo500,footprint,cs5,sequence")
     ap.add_argument("--sequence-n", type=int, default=50)
     ap.add_argument("--sequence-ticks", type=int, default=10)
+    # Merge this run's suites into an existing report instead of replacing
+    # it (e.g. append a T=50 long-horizon sequence section to the committed
+    # 300-scenario study without re-running it). A suite with the same
+    # (suite, mode, ticks) key is replaced; others are preserved.
+    ap.add_argument("--append", action="store_true")
     args = ap.parse_args()
 
     results = []
@@ -463,6 +468,16 @@ def main():
         "perturb_reps": args.perturb_reps,
         "suites": results,
     }
+    if args.append and os.path.exists(args.out):
+        with open(args.out) as f:
+            prev = json.load(f)
+
+        def key(s):
+            return (s.get("suite"), s.get("mode"), s.get("ticks"))
+
+        fresh = {key(s) for s in results}
+        report["suites"] = ([s for s in prev.get("suites", [])
+                             if key(s) not in fresh] + results)
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
     print(f"wrote {args.out}")

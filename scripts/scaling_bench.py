@@ -65,7 +65,8 @@ def pinned_main(args) -> None:
             ["taskset", "-c", cores, sys.executable, __file__,
              "--batch-per-device", str(args.batch_per_device),
              "--ticks", str(args.ticks), "--map-size", str(args.map_size),
-             "--repeats", str(args.repeats)],
+             "--repeats", str(args.repeats),
+             "--ticks-per-dispatch", str(args.ticks_per_dispatch)],
             env=env, capture_output=True, text=True, check=True)
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         rec = json.loads(line)
@@ -95,6 +96,15 @@ def main() -> None:
     ap.add_argument("--max-devices", type=int, default=8)
     ap.add_argument("--pinned", action="store_true",
                     help="CPU virtual mesh: one core per device via taskset")
+    # Round-4 verdict item 4: the per-dispatch host sync is paid once per
+    # --ticks scanned ticks, and on a zero-spare-core host the dispatch/fetch
+    # edges are where scheduler jitter lands (every runtime thread preempts a
+    # device core). K ticks per dispatch (one lax.scan, ONE fetch per K —
+    # the state threading already allows it; simulation.py's quality chains
+    # do exactly this) divides that straggler tax by K/--ticks, separating
+    # sharding overhead from host-sync amplification. 0 = use --ticks
+    # (the historical protocol).
+    ap.add_argument("--ticks-per-dispatch", type=int, default=0)
     args = ap.parse_args()
     if args.pinned:
         pinned_main(args)
@@ -130,10 +140,11 @@ def main() -> None:
         if sizes[-1] != len(devices):
             sizes.append(len(devices))
 
+    tpd = args.ticks_per_dispatch or args.ticks
     sim = jax.jit(lambda b, t: batch_simulate(cfg, b, t), static_argnums=1)
 
     def run_once(sb):
-        run = sim(sb, args.ticks)
+        run = sim(sb, tpd)
         np.asarray(jax.device_get(run.cmds[:1, -1]))  # real barrier
 
     results = []
@@ -144,7 +155,7 @@ def main() -> None:
                                  plan_points=24)
         sb = type(sb)(*[shard_batch(x, mesh) for x in sb])
         t_shard = _steady_time(lambda: run_once(sb), args.repeats)
-        sps = B * args.ticks / t_shard
+        sps = B * tpd / t_shard
 
         # Same-process 1-device baseline: the per-device batch on device[0],
         # with every core this child owns available to it. Strictly more
@@ -156,10 +167,11 @@ def main() -> None:
         t_base = _steady_time(lambda: run_once(sb1), args.repeats)
 
         rec = {"devices": nd, "batch": B,
+               "ticks_per_dispatch": tpd,
                "solves_per_sec": round(sps, 1),
                "baseline_1dev_solves_per_sec": round(
-                   args.batch_per_device * args.ticks / t_base, 1),
-               "steady_tick_ms": round(t_shard / args.ticks * 1e3, 2),
+                   args.batch_per_device * tpd / t_base, 1),
+               "steady_tick_ms": round(t_shard / tpd * 1e3, 2),
                "efficiency": round(t_base / t_shard, 3)}
         results.append(rec)
         print(json.dumps(rec), flush=True)

@@ -48,6 +48,18 @@ def main() -> None:
     ap.add_argument("--map-size", type=int, default=64)
     ap.add_argument("--max-iters", type=int, default=8)
     ap.add_argument("--top", type=int, default=40)
+    # Round-4 verdict item 2 instrumentation: the bench's batch-1
+    # `device_p99_ms` tripled (0.308 -> 0.894 ms) when quad-interp shipped in
+    # fleet_config. --step-mode traces the EXACT program behind that row
+    # (MpcEngine.batch_step per tick, not the scanned closed loop);
+    # --quad-interp toggles the knob so the A/B isolates its device cost.
+    ap.add_argument("--step-mode", action="store_true",
+                    help="trace per-tick MpcEngine.batch_step instead of "
+                         "the scanned closed loop")
+    ap.add_argument("--quad-interp", action="store_true",
+                    help="solver_ls_quad_interp=True (the fleet_config knob)")
+    ap.add_argument("--reps", type=int, default=8,
+                    help="step-mode: traced step count")
     args = ap.parse_args()
 
     import jax
@@ -67,6 +79,7 @@ def main() -> None:
         # bench.py headline operating point (two-phase Armijo schedule).
         solver_max_backtracks=7, solver_ls_coarse_after=2,
         solver_ls_coarse_factor=0.0625,
+        solver_ls_quad_interp=args.quad_interp,
         min_vel_x=-0.7, min_vel_y=-0.7, min_vel_theta=-0.7,
         max_vel_x=0.7, max_vel_y=0.7, max_vel_trans=0.7, max_vel_theta=0.7,
         w_trans=0.82, w_orient=0.5, w_control=0.05, w_terminal=0.05,
@@ -78,6 +91,40 @@ def main() -> None:
     sb = make_scenario_batch(cfg, args.batch, seed=0,
                              map_size=args.map_size, plan_points=64,
                              maps_on_device=True)
+    if args.step_mode:
+        # The bench device_p99_ms program: a pipelined eng.batch_step chain
+        # (state threaded, fetch per step — what a co-located single-robot
+        # deployment pays per tick).
+        from neo_mpc_planner2_tpu.utils.profiling import (
+            device_module_durations_ms)
+
+        eng = mpc.MpcEngine(cfg)
+        st = eng.init_batch_state(args.batch)
+        a = (sb.plan, sb.robot_pose, sb.current_vel, sb.costmap,
+             sb.footprint, sb.delta_t)
+        o = eng.batch_step(st, *a)
+        sync(o.cmd_vel)
+        st = o.state
+        with tempfile.TemporaryDirectory() as td:
+            with device_trace(td):
+                for _ in range(args.reps):
+                    o = eng.batch_step(st, *a)
+                    st = o.state
+                    sync(o.cmd_vel)
+            rows = top_device_ops(td, args.top)
+            mods = device_module_durations_ms(td)
+        if mods:
+            durs = max(mods.values(), key=len)[1:]
+            if durs:
+                d = np.array(durs)
+                print(f"step module: n={d.size} p50={np.percentile(d,50):.3f}"
+                      f" p99={np.percentile(d,99):.3f} max={d.max():.3f} ms")
+        total = sum(t for _, (_, t) in rows)
+        print(f"top {len(rows)} device ops, {args.reps} steps @ batch "
+              f"{args.batch} quad={args.quad_interp} (sum {total:.1f} ms):")
+        for name, (cnt, t) in rows:
+            print(f"  {t:8.2f} ms  x{cnt:<5d} {name[:110]}")
+        return
     sim = jax.jit(lambda b, t: batch_simulate(cfg, b, t), static_argnums=1)
     run = sim(sb, args.ticks)
     sync(run.cmds)  # compile + warm
@@ -88,7 +135,7 @@ def main() -> None:
         rows = top_device_ops(td, args.top)
     total = sum(t for _, (_, t) in rows)
     print(f"top {len(rows)} device ops, {args.ticks} ticks @ batch "
-          f"{args.batch} (sum {total:.1f} ms):")
+          f"{args.batch} quad={args.quad_interp} (sum {total:.1f} ms):")
     for name, (cnt, t) in rows:
         print(f"  {t:8.2f} ms  x{cnt:<5d} {name[:110]}")
 

@@ -233,6 +233,14 @@ class MpcConfig:
     # accepted alphas leave the fixed grid, so solutions change: operating
     # points enabling this need the sweep_ls fidelity gate (cmd-diff p99
     # <= 0.004, lanes<0.01 >= 0.9). Off by default; A/B recorded in PERF.md.
+    # BATCH ENVELOPE (round-5 A/B, fleet combo, min-of-reps): +1.5 % at
+    # batch 4096 (636.6k vs 626.9k) but -2.8 % at 8192 (482.5k vs 496.4k)
+    # and -4.6 % at 16384 (488.0k vs 511.4k) — above ~8k lanes the extra
+    # per-trip interpolation arithmetic outweighs the trips it saves, while
+    # the 4096->8192 roll-off itself is batch scaling (present with the
+    # knob off too). fleet_config ships it on for its <=4096-lane target;
+    # turn it OFF for fleets >=8192 lanes. Batch-1 device latency is
+    # unaffected (0.72 ms p50 either way, PERF.md round 11b).
     solver_ls_quad_interp: bool = False
     # Compatibility quirks toggle.
     compat: CompatConfig = dataclasses.field(default_factory=CompatConfig)
@@ -298,7 +306,10 @@ def fleet_config() -> MpcConfig:
       AND tighter fidelity (cmd-diff p99 0.0021 vs 0.0039, lanes<0.01
       0.938 vs 0.917, unconverged 0.42 % vs 0.44 %) — the interpolated
       alpha both accepts earlier and lands nearer the cap-40 solution
-      (round-4 A/B, scripts/round4_batch.sh step 4).
+      (round-4 A/B, scripts/round4_batch.sh step 4). The win is
+      batch-bounded: at >=8192 lanes it measures -2.8 to -4.6 % (round-5
+      envelope A/B; see the knob's field comment) — set it False for
+      fleets that size.
     (Adaptive lockstep compaction was measured at this point and LOSES
     3-7 % — the warm alive-set does not collapse early enough to pay for
     the batch-level loop restructuring; PERF.md round 8 — so it stays off.)

@@ -10,6 +10,11 @@ cd "$(dirname "$0")/.."
 ./scripts/build_native.sh >/dev/null
 ./neo_mpc_planner2_tpu/native/host_test
 
+# nav2 plugin shim: compile the REAL branch against the stub ROS headers
+# (run end-to-end by tests/test_nav2_plugin.py; here just the build).
+./scripts/check_nav2_plugin.sh >/dev/null
+echo "nav2 plugin stub-harness build ok"
+
 # TSan: the test binary's concurrent reconfigure-vs-tick section exercises
 # every mutex path (the reference's param callback self-deadlocks there,
 # SURVEY §2.3.4). Pure C++ — no CPython under TSan.

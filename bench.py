@@ -452,10 +452,17 @@ def _main() -> None:
             raise TimeoutError("skipped: <420 s of budget left "
                                "(reserved for the established passes)")
         import dataclasses as _dc
-        pcfg = cfg.replace(compat=_dc.replace(
-            cfg.compat, buggy_odom_yaw=False, footprint_alias_noop=False,
-            lethal_1000x=False, unsquared_control_cost=False,
-            no_angle_wrap=False))
+
+        # The product_config() operating point on the bench weights: quirks
+        # off + fused line-search WAVE (parallel_line_search; +52 % for the
+        # expensive smooth objective, round-5 A/B — see config.product_config
+        # docstring). quad-interp off (mutually exclusive with the wave).
+        pcfg = cfg.replace(
+            parallel_line_search=True, solver_ls_quad_interp=False,
+            compat=_dc.replace(
+                cfg.compat, buggy_odom_yaw=False, footprint_alias_noop=False,
+                lethal_1000x=False, unsquared_control_cost=False,
+                no_angle_wrap=False))
         simsq = jax.jit(
             lambda b, st, po, ve, t: batch_simulate(
                 pcfg, b, t, parity=False, init=(st, po, ve)),

@@ -21,7 +21,7 @@ if _os.environ.get("NEO_MPC_COMPILE_CACHE"):
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from .config import (CompatConfig, MpcConfig, config_from_ros_params,
-                     default_config, fleet_config)
+                     default_config, fleet_config, product_config)
 from .controller import ControllerException, NeoMpcController
 from .engine import ControlState, MpcEngine, StepResult, controller_step, init_state, solve_step
 from .ops.costmap import Costmap, cost_at_world, cost_at_world_bilinear
@@ -36,7 +36,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "CompatConfig", "MpcConfig", "config_from_ros_params", "default_config",
-    "fleet_config",
+    "fleet_config", "product_config",
     "ControllerException", "NeoMpcController",
     "ControlState", "MpcEngine", "StepResult", "controller_step", "init_state", "solve_step",
     "Costmap", "cost_at_world", "cost_at_world_bilinear",

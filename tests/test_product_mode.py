@@ -155,3 +155,81 @@ def test_product_sqp_closed_loop_quality(cfg):
     cmds = np.asarray(run.cmds)
     assert np.all(np.hypot(cmds[..., 0], cmds[..., 1])
                   <= pcfg.max_vel_trans + 1e-3)
+
+
+def test_product_config_wave_matches_sequential(cfg):
+    """product_config() flips the line search to a fused candidate wave
+    (parallel_line_search). The wave selects the FIRST accepted candidate in
+    schedule order — the same alpha sequential backtracking picks — so
+    solutions must match the sequential program to float-fusion noise."""
+    import dataclasses
+
+    import neo_mpc_planner2_tpu as mpc
+    from neo_mpc_planner2_tpu.ops.objective import make_objective
+    from neo_mpc_planner2_tpu.scenarios import make_scenario_batch
+
+    base = cfg.replace(
+        solver_max_iters=8, solver_max_backtracks=7,
+        solver_ls_coarse_after=2, solver_ls_coarse_factor=0.0625,
+        compat=dataclasses.replace(
+            cfg.compat, buggy_odom_yaw=False, footprint_alias_noop=False,
+            lethal_1000x=False, unsquared_control_cost=False,
+            no_angle_wrap=False))
+    wave = base.replace(parallel_line_search=True)
+    sb = make_scenario_batch(base, 8, seed=9, map_size=48, plan_points=32,
+                             plan_length_range=(0.7, 1.0),
+                             clear_corridor_m=0.55, center_on="plan")
+
+    def solve_all(c):
+        obj = make_objective(c, parity=False)
+        solver = jax.vmap(mpc.make_sqp_solver(c, obj))
+        scens = jax.vmap(lambda p, ca, g, v, fp, cm: mpc.Scenario.create(
+            p, ca, g, v, fp, cm, switch_opt=False,
+            control_interval=1 / 30))(
+            sb.robot_pose,
+            jnp.tile(jnp.asarray([0.4, 0.05, 0.1], jnp.float32), (8, 1)),
+            sb.plan.poses[jnp.arange(8), sb.plan.n_valid - 1],
+            sb.current_vel, sb.footprint, sb.costmap)
+        return solver(jnp.zeros((8, 9), jnp.float32), scens)
+
+    rs = solve_all(base)
+    rw = solve_all(wave)
+    np.testing.assert_allclose(np.asarray(rw.x), np.asarray(rs.x),
+                               atol=2e-5, rtol=0)
+    assert np.array_equal(np.asarray(rw.iters), np.asarray(rs.iters))
+
+
+def test_product_config_preset_closed_loop(cfg):
+    """The exported product_config() preset drives the closed loop to goals
+    (quality twin of the quirks-off pcfg gates above, at the shipped product
+    operating point — wave line search, fleet solver knobs)."""
+    from neo_mpc_planner2_tpu.scenarios import make_scenario_batch
+    from neo_mpc_planner2_tpu.simulation import batch_simulate
+
+    import neo_mpc_planner2_tpu as mpc
+
+    pcfg = mpc.product_config().replace(
+        prediction_horizon=cfg.prediction_horizon,
+        control_steps=cfg.control_steps, opt_tolerance=cfg.opt_tolerance,
+        footprint_edge_samples=cfg.footprint_edge_samples,
+        acc_x_limit=cfg.acc_x_limit, acc_y_limit=cfg.acc_y_limit,
+        acc_theta_limit=cfg.acc_theta_limit,
+        min_vel_x=cfg.min_vel_x, min_vel_y=cfg.min_vel_y,
+        min_vel_theta=cfg.min_vel_theta, max_vel_x=cfg.max_vel_x,
+        max_vel_y=cfg.max_vel_y, max_vel_trans=cfg.max_vel_trans,
+        max_vel_theta=cfg.max_vel_theta,
+        w_trans=cfg.w_trans, w_orient=cfg.w_orient,
+        w_control=cfg.w_control, w_terminal=cfg.w_terminal,
+        w_costmap=cfg.w_costmap, w_footprint=cfg.w_footprint,
+        lookahead_dist_min=cfg.lookahead_dist_min,
+        lookahead_dist_max=cfg.lookahead_dist_max,
+        lookahead_dist_close_to_goal=cfg.lookahead_dist_close_to_goal)
+    sb = make_scenario_batch(pcfg, 6, seed=5, map_size=64, plan_points=48,
+                             plan_length_range=(0.7, 1.0),
+                             clear_corridor_m=0.55, center_on="plan")
+    run = batch_simulate(pcfg, sb, 90, parity=False)
+    d = np.asarray(run.goal_dist[:, -1])
+    assert (d < 0.10).mean() >= 0.8, d
+    cmds = np.asarray(run.cmds)
+    assert np.all(np.hypot(cmds[..., 0], cmds[..., 1])
+                  <= pcfg.max_vel_trans + 1e-3)

@@ -455,14 +455,22 @@ def _main() -> None:
 
         # The product_config() operating point on the bench weights: quirks
         # off + fused line-search WAVE (parallel_line_search; +52 % for the
-        # expensive smooth objective, round-5 A/B — see config.product_config
-        # docstring). quad-interp off (mutually exclusive with the wave).
+        # expensive smooth objective) + the per-solve hoisted PATCH sampler
+        # (solver_costmap_patch; bilinear/footprint reads contract over a
+        # (P, P) window instead of the full map — +78 % at map-64, +135 %
+        # at map-128, making the product solve map-size-independent; round-5
+        # A/Bs, see config.product_config docstring). 0.46 m = the MPO-700
+        # suite footprint's circumradius.
+        from neo_mpc_planner2_tpu.ops.costmap import (
+            required_product_patch_halfwidth)
         pcfg = cfg.replace(
             parallel_line_search=True, solver_ls_quad_interp=False,
             compat=_dc.replace(
                 cfg.compat, buggy_odom_yaw=False, footprint_alias_noop=False,
                 lethal_1000x=False, unsquared_control_cost=False,
                 no_angle_wrap=False))
+        pcfg = pcfg.replace(solver_costmap_patch=(
+            required_product_patch_halfwidth(pcfg, 0.05, 0.46)))
         simsq = jax.jit(
             lambda b, st, po, ve, t: batch_simulate(
                 pcfg, b, t, parity=False, init=(st, po, ve)),

@@ -348,6 +348,25 @@ def product_config() -> MpcConfig:
     quad-interp is off here because it is mutually exclusive with the wave
     (and its fidelity study was parity-only).
 
+    Second lever (round-5 A/B): set `solver_costmap_patch` to hoist ONE
+    patch extraction per solve — every bilinear point cost and footprint
+    boundary sample then contracts over the (P, P) window instead of the
+    full map (ops.costmap.ProductPatchSampler; values bit-identical inside
+    the coverage guarantee). Measured on top of the wave: 64.2k -> 113.9k
+    solves/s at map-64 (+78 %) and 47.9k -> 112.8k at map-128 (+135 %) —
+    the product solve becomes map-size-independent. The halfwidth is in
+    CELLS and depends on resolution + footprint, so the preset cannot bake
+    it; size it with
+
+        from neo_mpc_planner2_tpu.ops.costmap import (
+            required_product_patch_halfwidth)
+        cfg = product_config()
+        cfg = cfg.replace(solver_costmap_patch=
+            required_product_patch_halfwidth(cfg, resolution,
+                                             footprint_circumradius_m))
+
+    (too small is conservative, not unsafe: out-of-patch reads are lethal).
+
     Use with `parity=False` engines/sims:
         cfg = product_config()
         run = batch_simulate(cfg, batch, ticks, parity=False)

@@ -31,7 +31,10 @@ __all__ = ["Costmap", "CostmapPatch", "u8_source_enabled", "world_to_map",
            "cost_at_cell",
            "cost_at_world", "cost_at_cells_onehot", "cost_at_world_onehot",
            "cost_at_world_bilinear", "extract_patch", "patch_cost_at_world",
-           "extract_window_onehot", "required_patch_halfwidth"]
+           "extract_window_onehot", "required_patch_halfwidth",
+           "extract_patch_onehot", "patch_cost_at_cells",
+           "patch_cost_at_world_bilinear", "required_product_patch_halfwidth",
+           "ProductPatchSampler"]
 
 LETHAL_COST = 1.0
 
@@ -501,6 +504,131 @@ def patch_cost_at_world(cm: Costmap, patch: CostmapPatch, wx: jnp.ndarray,
     t = jnp.einsum("...sp,...pq->...sq", rows, patch.data)
     vals = jnp.sum(t * cols, axis=-1)
     return jnp.where(inb, vals, LETHAL_COST)
+
+
+def extract_patch_onehot(cm: Costmap, cx: jnp.ndarray, cy: jnp.ndarray,
+                         halfwidth: int) -> CostmapPatch:
+    """extract_patch without the padded-map dynamic_slice: under vmap the
+    per-lane slice lowers to a latency-bound batched gather (the same
+    pathology extract_window_onehot exists for) and the (H+2h)² padded copy
+    costs real HBM traffic per lane. Here the (P, P) window is two one-hot
+    contractions straight off `data`, with the corner UNCLAMPED: rows/cols
+    outside the map produce all-zero one-hot rows, and those cells are
+    rewritten to LETHAL by an explicit validity mask — so the patch holds
+    exactly the map values inside the grid and LETHAL outside, for ANY
+    center (coverage is exact even when the center cell is off-map, which
+    the clamped extract_patch only guarantees via its off-map argument).
+    Precision.HIGHEST keeps picked values bit-exact (0/1 factors)."""
+    h = halfwidth
+    H, W = cm.data.shape[-2], cm.data.shape[-1]
+    P = 2 * h + 1
+    mx0, my0 = world_to_map(cm, cx, cy)
+    c0x = mx0 - h
+    c0y = my0 - h
+    ri = c0y + jnp.arange(P)                                  # (P,) rows
+    ci = c0x + jnp.arange(P)                                  # (P,) cols
+    rows1h = (ri[:, None] == jnp.arange(H)[None, :]).astype(cm.data.dtype)
+    cols1h = (ci[:, None] == jnp.arange(W)[None, :]).astype(cm.data.dtype)
+    t = jnp.dot(rows1h, cm.data, precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)           # (P, W)
+    picked = jnp.dot(t, cols1h.T, precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)      # (P, P)
+    valid = ((ri >= 0) & (ri < H))[:, None] & ((ci >= 0) & (ci < W))[None, :]
+    data = jnp.where(valid, picked.astype(cm.data.dtype), LETHAL_COST)
+    return CostmapPatch(data=data, cell0=jnp.stack([c0x, c0y]))
+
+
+def patch_cost_at_cells(patch: CostmapPatch, mx: jnp.ndarray,
+                        my: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-cell read by FULL-MAP cell indices through a patch — the
+    cell-indexed companion of patch_cost_at_world (same one-hot contraction,
+    same out-of-patch -> LETHAL policy; exact for every cell inside the
+    patch's coverage guarantee, where off-map cells carry the lethal ring)."""
+    P = patch.data.shape[-1]
+    ix = mx - patch.cell0[..., 0]
+    iy = my - patch.cell0[..., 1]
+    inb = (ix >= 0) & (ix < P) & (iy >= 0) & (iy < P)
+    ixc = jnp.clip(ix, 0, P - 1)
+    iyc = jnp.clip(iy, 0, P - 1)
+    rows = (iyc[..., :, None] == jnp.arange(P)[None, :]).astype(
+        patch.data.dtype)
+    cols = (ixc[..., :, None] == jnp.arange(P)[None, :]).astype(
+        patch.data.dtype)
+    t = jnp.einsum("...sp,...pq->...sq", rows, patch.data)
+    vals = jnp.sum(t * cols, axis=-1)
+    return jnp.where(inb, vals, LETHAL_COST)
+
+
+def patch_cost_at_world_bilinear(cm: Costmap, patch: CostmapPatch,
+                                 wx: jnp.ndarray,
+                                 wy: jnp.ndarray) -> jnp.ndarray:
+    """cost_at_world_bilinear through a patch: identical index/weight math;
+    the four neighbor reads become ONE fused 4S-point one-hot contraction on
+    the (P, P) window instead of four full-map reads. Values match the
+    full-map sampler bit-for-bit inside the coverage guarantee (the +1
+    bilinear neighbor must be inside the patch — include it in the
+    halfwidth; see required_product_patch_halfwidth)."""
+    ox, oy = grid_origin(cm)
+    fx = (wx - ox) / cm.resolution - 0.5
+    fy = (wy - oy) / cm.resolution - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = fx - x0
+    ty = fy - y0
+    x0i = jnp.int32(x0)
+    y0i = jnp.int32(y0)
+    if cm.win_cells is not None:  # window-local -> world-frame cell indices
+        x0i = x0i + cm.win_lo[..., 0]
+        y0i = y0i + cm.win_lo[..., 1]
+    shape = x0i.shape                       # (S,) sample points (vmap batches)
+    x0f = x0i.reshape(-1)
+    y0f = y0i.reshape(-1)
+    mx = jnp.stack([x0f, x0f + 1, x0f, x0f + 1], axis=-1).reshape(-1)  # (4S,)
+    my = jnp.stack([y0f, y0f, y0f + 1, y0f + 1], axis=-1).reshape(-1)
+    c = patch_cost_at_cells(patch, mx, my).reshape(shape + (4,))
+    c00, c10, c01, c11 = c[..., 0], c[..., 1], c[..., 2], c[..., 3]
+    top = c00 * (1.0 - tx) + c10 * tx
+    bot = c01 * (1.0 - tx) + c11 * tx
+    return top * (1.0 - ty) + bot * ty
+
+
+def required_product_patch_halfwidth(cfg, resolution: float,
+                                     footprint_radius_m: float) -> int:
+    """Patch halfwidth for the PRODUCT objective's hoisted sampler: the
+    rollout reach (required_patch_halfwidth) plus the footprint boundary's
+    circumradius in cells (every edge sample lies within it of a rollout
+    pose) plus one cell for the bilinear +1 neighbor. A too-small radius is
+    conservative, not unsafe: out-of-patch reads are LETHAL, so the solver
+    sees phantom obstacles near the rim instead of free space."""
+    import math
+
+    return (required_patch_halfwidth(cfg, resolution)
+            + int(math.ceil(footprint_radius_m / float(resolution))) + 1)
+
+
+class ProductPatchSampler:
+    """Per-solve hoisted sampler for the smooth product objective: one patch
+    extraction (MXU one-hot, no gather) feeds every bilinear point cost and
+    every footprint boundary sample of the solve, so the solver's line-search
+    loop contracts over (P, P) ≈ 10³ cells instead of the full map
+    (64² = 4.1k, 128² = 16.4k) — the product twin of make_point_sampler."""
+
+    def __init__(self, cm: Costmap, cx, cy, halfwidth: int):
+        if cm.win_cells is not None:
+            raise ValueError(
+                "product patch sampling is not supported on a rolling-window "
+                "VIEW costmap (out-of-window cells would read as map values); "
+                "leave solver_costmap_patch=0 for views")
+        self.cm = cm
+        self.patch = extract_patch_onehot(cm, cx, cy, halfwidth)
+
+    def bilinear(self, wx, wy):
+        return patch_cost_at_world_bilinear(self.cm, self.patch, wx, wy)
+
+    def nearest(self, wx, wy):
+        shape = wx.shape
+        mx, my = world_to_map(self.cm, wx.reshape(-1), wy.reshape(-1))
+        return patch_cost_at_cells(self.patch, mx, my).reshape(shape)
 
 
 def make_point_sampler(cm: Costmap, cx, cy, patch_halfwidth: int):

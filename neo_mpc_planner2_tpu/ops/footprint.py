@@ -171,7 +171,7 @@ def line_cost_exact(cm: Costmap, x0, y0, x1, y1) -> jnp.ndarray:
 
 
 def footprint_cost(cm: Costmap, fp: Footprint, samples: int = 32,
-                   mode: str = "gather") -> jnp.ndarray:
+                   mode: str = "gather", sample_fn=None) -> jnp.ndarray:
     """Max costmap cost along the polygon boundary (normalized scale, 1.0 =
     collision) — Costmap2d.getFootprintCost equivalent.
 
@@ -183,6 +183,10 @@ def footprint_cost(cm: Costmap, fp: Footprint, samples: int = 32,
     (choose `samples` via required_edge_samples so the spacing stays below the
     map resolution); "exact" walks every crossed cell (line_cost_exact) and
     ignores `samples`.
+    sample_fn: optional (wx, wy) -> costs override for the boundary reads
+    (e.g. a per-solve hoisted patch sampler's nearest lookup — identical
+    values, contraction over the patch instead of the full map). Ignored in
+    "exact" mode, which walks cells through the map directly.
     """
     V = fp.vertices.shape[0]
     idx = jnp.arange(V)
@@ -198,8 +202,11 @@ def footprint_cost(cm: Costmap, fp: Footprint, samples: int = 32,
 
     t = jnp.linspace(0.0, 1.0, samples)       # (S,)
     pts = starts[:, None, :] + (ends - starts)[:, None, :] * t[None, :, None]  # (V, S, 2)
-    sample = cost_at_world_onehot if mode == "onehot" else cost_at_world
-    costs = sample(cm, pts[..., 0], pts[..., 1])  # (V, S)
+    if sample_fn is not None:
+        costs = sample_fn(pts[..., 0], pts[..., 1])  # (V, S)
+    else:
+        sample = cost_at_world_onehot if mode == "onehot" else cost_at_world
+        costs = sample(cm, pts[..., 0], pts[..., 1])  # (V, S)
 
     costs = jnp.where(edge_valid[:, None], costs, -jnp.inf)
     return jnp.max(costs)

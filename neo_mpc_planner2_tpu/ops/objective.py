@@ -307,9 +307,17 @@ def objective_parity(
 
 
 def objective_product(cmd_flat: jnp.ndarray, scen: Scenario, cfg: MpcConfig,
-                      include_control: bool = True) -> jnp.ndarray:
+                      include_control: bool = True,
+                      point_sampler=None) -> jnp.ndarray:
     """Smooth product-mode objective: bilinear costmap sampling, true predicted
-    footprint cost, wrapped angle errors. Same weights and structure."""
+    footprint cost, wrapped angle errors. Same weights and structure.
+
+    point_sampler: optional per-solve hoisted sampler (a
+    ops.costmap.ProductPatchSampler): the bilinear point costs and every
+    footprint boundary sample then contract over its (P, P) patch instead of
+    the full map — identical values inside the patch coverage guarantee,
+    map-size-independent cost. Built automatically by the SQP lane closure
+    when cfg.solver_costmap_patch > 0 (sqp._lane_fobj)."""
     n = cfg.control_steps
     cmd = cmd_flat.reshape(n, 3)
     dt = jnp.asarray(cfg.dt, cmd.dtype)
@@ -317,7 +325,14 @@ def objective_product(cmd_flat: jnp.ndarray, scen: Scenario, cfg: MpcConfig,
     body_traj = rollout(cmd, dt, jnp.zeros(3, cmd.dtype))
     odom_traj = rollout(cmd, dt, scen.current_pose)
 
-    pc = cost_at_world_bilinear(scen.costmap, odom_traj[:, 0], odom_traj[:, 1])
+    if point_sampler is None:
+        pc = cost_at_world_bilinear(scen.costmap, odom_traj[:, 0],
+                                    odom_traj[:, 1])
+    else:
+        pc = point_sampler.bilinear(odom_traj[:, 0], odom_traj[:, 1])
+    fp_sample_fn = (None if point_sampler is None
+                    or cfg.footprint_mode == "exact"
+                    else point_sampler.nearest)
 
     def fp_at(i):
         return footprint_cost(
@@ -325,6 +340,7 @@ def objective_product(cmd_flat: jnp.ndarray, scen: Scenario, cfg: MpcConfig,
             transform_footprint(odom_traj[i], scen.footprint),
             cfg.footprint_edge_samples,
             cfg.footprint_mode,
+            sample_fn=fp_sample_fn,
         )
 
     fp_costs = jnp.stack([fp_at(i) for i in range(n)])
@@ -353,9 +369,10 @@ def make_objective(cfg: MpcConfig, parity: bool = True):
     else:
         def f(cmd_flat, scen, fp_term=None, include_control=True,
               point_sampler=None):
-            del fp_term, point_sampler
+            del fp_term
             return objective_product(cmd_flat, scen, cfg,
-                                     include_control=include_control)
+                                     include_control=include_control,
+                                     point_sampler=point_sampler)
     f.parity = parity
     f.cfg = cfg
     return f

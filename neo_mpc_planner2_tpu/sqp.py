@@ -817,6 +817,19 @@ def _lane_fobj(cfg: MpcConfig, objective, scen, fp_term=None):
             scen.costmap, scen.current_pose[0], scen.current_pose[1],
             cfg.solver_costmap_patch)
         return lambda u: objective(u, scen, fp_term, point_sampler=sampler)
+    if cfg.solver_costmap_patch > 0 and scen.costmap.win_cells is None:
+        # Product objective: hoist ONE patch extraction per solve; every
+        # bilinear point cost and footprint boundary sample in the solver's
+        # loops then contracts over the (P, P) patch instead of the full
+        # map (map-size-independent; see ProductPatchSampler). The caller
+        # sizes the halfwidth via required_product_patch_halfwidth (rollout
+        # reach + footprint circumradius + the bilinear neighbor).
+        from .ops.costmap import ProductPatchSampler
+
+        sampler = ProductPatchSampler(
+            scen.costmap, scen.current_pose[0], scen.current_pose[1],
+            cfg.solver_costmap_patch)
+        return lambda u: objective(u, scen, point_sampler=sampler)
     return lambda u: objective(u, scen)
 
 

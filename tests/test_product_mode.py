@@ -208,6 +208,9 @@ def test_product_config_preset_closed_loop(cfg):
 
     import neo_mpc_planner2_tpu as mpc
 
+    from neo_mpc_planner2_tpu.ops.costmap import (
+        required_product_patch_halfwidth)
+
     pcfg = mpc.product_config().replace(
         prediction_horizon=cfg.prediction_horizon,
         control_steps=cfg.control_steps, opt_tolerance=cfg.opt_tolerance,
@@ -224,6 +227,10 @@ def test_product_config_preset_closed_loop(cfg):
         lookahead_dist_min=cfg.lookahead_dist_min,
         lookahead_dist_max=cfg.lookahead_dist_max,
         lookahead_dist_close_to_goal=cfg.lookahead_dist_close_to_goal)
+    # The shipped second lever: per-solve hoisted patch sampling (0.46 m =
+    # the MPO-700 suite footprint circumradius).
+    pcfg = pcfg.replace(solver_costmap_patch=(
+        required_product_patch_halfwidth(pcfg, 0.05, 0.46)))
     sb = make_scenario_batch(pcfg, 6, seed=5, map_size=64, plan_points=48,
                              plan_length_range=(0.7, 1.0),
                              clear_corridor_m=0.55, center_on="plan")
@@ -233,3 +240,101 @@ def test_product_config_preset_closed_loop(cfg):
     cmds = np.asarray(run.cmds)
     assert np.all(np.hypot(cmds[..., 0], cmds[..., 1])
                   <= pcfg.max_vel_trans + 1e-3)
+
+
+class TestProductPatchSampler:
+    """The per-solve hoisted patch sampler for the smooth objective
+    (round 5): values must be BIT-IDENTICAL to the full-map samplers inside
+    the coverage guarantee, and the patched objective must equal the
+    unpatched one."""
+
+    def _cm(self, seed=3, shape=(64, 64)):
+        rng = np.random.default_rng(seed)
+        data = rng.uniform(0, 1, shape).astype(np.float32)
+        return mpc.Costmap.create(data, origin=(-1.6, -1.6), resolution=0.05)
+
+    def test_extract_patch_onehot_matches_extract_patch(self):
+        from neo_mpc_planner2_tpu.ops.costmap import (extract_patch,
+                                                      extract_patch_onehot)
+        cm = self._cm()
+        for (cx, cy) in [(0.0, 0.0), (-1.55, -1.55), (1.2, -0.3)]:
+            a = extract_patch(cm, jnp.float32(cx), jnp.float32(cy), 9)
+            b = extract_patch_onehot(cm, jnp.float32(cx), jnp.float32(cy), 9)
+            # Interior centers: identical windows and corners.
+            if -1.0 < cx < 1.0 and -1.0 < cy < 1.0:
+                np.testing.assert_array_equal(np.asarray(a.data),
+                                              np.asarray(b.data))
+                np.testing.assert_array_equal(np.asarray(a.cell0),
+                                              np.asarray(b.cell0))
+
+    def test_bilinear_matches_full_map(self):
+        from neo_mpc_planner2_tpu.ops.costmap import (
+            ProductPatchSampler, cost_at_world_bilinear)
+        cm = self._cm()
+        rng = np.random.default_rng(4)
+        # Points within 0.4 m of the center (halfwidth 12 cells = 0.6 m
+        # covers them plus the +1 neighbor).
+        wx = jnp.asarray(rng.uniform(-0.4, 0.4, 64), jnp.float32)
+        wy = jnp.asarray(rng.uniform(-0.4, 0.4, 64), jnp.float32)
+        s = ProductPatchSampler(cm, jnp.float32(0.0), jnp.float32(0.0), 12)
+        np.testing.assert_array_equal(
+            np.asarray(s.bilinear(wx, wy)),
+            np.asarray(cost_at_world_bilinear(cm, wx, wy)))
+        # Map-edge coverage: points straddling the boundary read the lethal
+        # OOB policy identically.
+        s2 = ProductPatchSampler(cm, jnp.float32(-1.5), jnp.float32(-1.5), 12)
+        ex = jnp.asarray(rng.uniform(-1.9, -1.1, 64), jnp.float32)
+        ey = jnp.asarray(rng.uniform(-1.9, -1.1, 64), jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(s2.bilinear(ex, ey)),
+            np.asarray(cost_at_world_bilinear(cm, ex, ey)))
+
+    def test_nearest_matches_full_map(self):
+        from neo_mpc_planner2_tpu.ops.costmap import (ProductPatchSampler,
+                                                      cost_at_world)
+        cm = self._cm()
+        rng = np.random.default_rng(5)
+        wx = jnp.asarray(rng.uniform(-0.5, 0.5, (4, 16)), jnp.float32)
+        wy = jnp.asarray(rng.uniform(-0.5, 0.5, (4, 16)), jnp.float32)
+        s = ProductPatchSampler(cm, jnp.float32(0.0), jnp.float32(0.0), 14)
+        np.testing.assert_array_equal(np.asarray(s.nearest(wx, wy)),
+                                      np.asarray(cost_at_world(cm, wx, wy)))
+
+    def test_patched_objective_equals_unpatched(self, footprint):
+        """End-to-end: the SQP lane closure with solver_costmap_patch > 0
+        produces the same product objective values and the same solve."""
+        import dataclasses
+
+        from neo_mpc_planner2_tpu.ops.costmap import (
+            required_product_patch_halfwidth)
+
+        cfg0 = mpc.default_config().replace(
+            prediction_horizon=0.8, control_steps=3, opt_tolerance=1e-3,
+            footprint_edge_samples=8,
+            max_vel_x=0.7, max_vel_y=0.7, max_vel_trans=0.7,
+            min_vel_x=-0.7, min_vel_y=-0.7,
+            w_trans=0.82, w_orient=0.5, w_control=0.05, w_terminal=0.05,
+            w_costmap=0.5, w_footprint=50.0,
+            compat=dataclasses.replace(
+                mpc.default_config().compat, buggy_odom_yaw=False,
+                footprint_alias_noop=False, lethal_1000x=False,
+                unsquared_control_cost=False, no_angle_wrap=False))
+        h = required_product_patch_halfwidth(cfg0, 0.05, 0.5)
+        cfgp = cfg0.replace(solver_costmap_patch=h)
+        cm = self._cm(shape=(64, 64))
+        scen = mpc.Scenario.create([0.1, -0.05, 0.2], [0.5, 0.1, 0.1],
+                                   [1.0, 0.3, 0.2], [0.2, 0, 0],
+                                   footprint, cm)
+        obj = mpc.make_objective(cfg0, parity=False)
+        u = jnp.asarray(np.linspace(-0.3, 0.5, 9), jnp.float32)
+
+        from neo_mpc_planner2_tpu.sqp import _lane_fobj
+        f_plain = _lane_fobj(cfg0, obj, scen)
+        f_patch = _lane_fobj(cfgp, obj, scen)
+        np.testing.assert_allclose(float(f_patch(u)), float(f_plain(u)),
+                                   rtol=1e-6)
+
+        s_plain = jax.jit(mpc.make_sqp_solver(cfg0, obj))(jnp.zeros(9), scen)
+        s_patch = jax.jit(mpc.make_sqp_solver(cfgp, obj))(jnp.zeros(9), scen)
+        np.testing.assert_allclose(np.asarray(s_patch.x),
+                                   np.asarray(s_plain.x), atol=2e-5)

@@ -269,7 +269,22 @@ def make_solver(cfg: MpcConfig, objective, ftol: float | None = None,
 
     def solve(x0, scen):
         fp_term = parity_footprint_term(scen, cfg) if parity else None
-        f_smooth = lambda u: objective(u, scen, fp_term, include_control=False)
+        sampler = None
+        if (not parity and cfg.solver_costmap_patch > 0
+                and scen.costmap.win_cells is None):
+            # Same per-solve patch hoist as the SQP product path
+            # (sqp._lane_fobj): FISTA's backtracking re-evaluates f_smooth
+            # often, so the full-map bilinear/footprint reads dominate it
+            # even harder. Values bit-identical inside the coverage
+            # guarantee (ProductPatchSampler).
+            from .ops.costmap import ProductPatchSampler
+
+            sampler = ProductPatchSampler(
+                scen.costmap, scen.current_pose[0], scen.current_pose[1],
+                cfg.solver_costmap_patch)
+        f_smooth = lambda u: objective(u, scen, fp_term,
+                                       include_control=False,
+                                       point_sampler=sampler)
         g_ctrl = lambda u: control_cost(u, scen.current_vel, cfg)
         return prox_fista(
             f_smooth, g_ctrl, lam, scen.current_vel, x0, cfg,

@@ -338,3 +338,10 @@ class TestProductPatchSampler:
         s_patch = jax.jit(mpc.make_sqp_solver(cfgp, obj))(jnp.zeros(9), scen)
         np.testing.assert_allclose(np.asarray(s_patch.x),
                                    np.asarray(s_plain.x), atol=2e-5)
+
+        # prox-FISTA honors the same knob (solver.make_solver wires the
+        # identical sampler): solutions match the unpatched prox solve.
+        p_plain = jax.jit(mpc.make_solver(cfg0, obj))(jnp.zeros(9), scen)
+        p_patch = jax.jit(mpc.make_solver(cfgp, obj))(jnp.zeros(9), scen)
+        np.testing.assert_allclose(np.asarray(p_patch.x),
+                                   np.asarray(p_plain.x), atol=2e-5)

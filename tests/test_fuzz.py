@@ -282,3 +282,43 @@ def test_random_plan_lengths_through_serving(seed):
         assert "output_vel" in r and np.all(np.isfinite(r["output_vel"]))
     assert "error" in s.handle({"op": "set_plan",
                                 "poses": np.zeros((33, 3)).tolist()})
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_product_patch_sampler_fuzz(seed):
+    """Property: for random maps/centers/halfwidths, the patch samplers are
+    BIT-identical to the full-map samplers at every point whose bilinear
+    neighborhood lies within the coverage guarantee, and conservative
+    (>= full-map value... specifically lethal) outside it."""
+    from neo_mpc_planner2_tpu.ops.costmap import (
+        ProductPatchSampler, cost_at_world, cost_at_world_bilinear)
+
+    rng = np.random.default_rng(100 + seed)
+    H = int(rng.integers(24, 96))
+    W = int(rng.integers(24, 96))
+    res = float(rng.uniform(0.03, 0.1))
+    ox, oy = float(rng.uniform(-2, 0)), float(rng.uniform(-2, 0))
+    data = rng.uniform(0, 1, (H, W)).astype(np.float32)
+    cm = mpc.Costmap.create(data, origin=(ox, oy), resolution=res)
+    h = int(rng.integers(6, 20))
+    cx = float(rng.uniform(ox - 0.3, ox + W * res + 0.3))
+    cy = float(rng.uniform(oy - 0.3, oy + H * res + 0.3))
+    s = ProductPatchSampler(cm, jnp.float32(cx), jnp.float32(cy), h)
+
+    # Points within (h-2) cells of the center: inside coverage with the
+    # bilinear +1 neighbor to spare.
+    r = (h - 2) * res
+    wx = jnp.asarray(rng.uniform(cx - r, cx + r, 128), jnp.float32)
+    wy = jnp.asarray(rng.uniform(cy - r, cy + r, 128), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(s.bilinear(wx, wy)),
+        np.asarray(cost_at_world_bilinear(cm, wx, wy)))
+    np.testing.assert_array_equal(
+        np.asarray(s.nearest(wx, wy)),
+        np.asarray(cost_at_world(cm, wx, wy)))
+
+    # Far outside the patch: lethal (conservative), never un-lethal.
+    fx = jnp.asarray(cx + (h + 10) * res + rng.uniform(0, 1, 16),
+                     jnp.float32)
+    fy = jnp.asarray(np.full(16, cy), jnp.float32)
+    assert np.all(np.asarray(s.nearest(fx, fy)) == 1.0)

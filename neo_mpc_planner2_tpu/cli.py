@@ -71,14 +71,28 @@ def server_main(argv=None) -> None:
     ap.add_argument("--slot-ttl", type=float, default=None,
                     help="expire robot slots idle longer than this many "
                          "seconds (default: no TTL, LRU cap only)")
+    ap.add_argument("--product", action="store_true",
+                    help="serve PRODUCT mode: the smooth bilinear objective "
+                         "+ true predicted footprint through the same SQP "
+                         "(config.product_config base — quirks off, fused "
+                         "line-search wave; --params-file values overlay "
+                         "it). Default: reference-parity mode")
     args = ap.parse_args(argv)
 
-    cfg = (config_from_ros_params(_load_params_file(args.params_file))
-           if args.params_file else default_config())
-    print(f"[neo-mpc-server] listening on {args.host}:{args.port}", file=sys.stderr)
+    if args.product:
+        from .config import product_config
+
+        base = product_config()
+    else:
+        base = default_config()
+    cfg = (config_from_ros_params(_load_params_file(args.params_file),
+                                  base=base)
+           if args.params_file else base)
+    print(f"[neo-mpc-server] listening on {args.host}:{args.port}"
+          + (" (product mode)" if args.product else ""), file=sys.stderr)
     serve(args.host, args.port, cfg, pipelined=args.pipelined,
           checkpoint_dir=args.checkpoint_dir, max_slots=args.max_slots,
-          slot_ttl=args.slot_ttl)
+          slot_ttl=args.slot_ttl, parity=not args.product)
 
 
 def bench_main(argv=None) -> None:

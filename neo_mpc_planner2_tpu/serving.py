@@ -22,6 +22,12 @@ transport is a newline-delimited JSON protocol over TCP (no ROS, no DDS):
     {"op": "reset"}        # new-mission reset (the reference restarts the node)
     {"op": "ping"}
 
+Mode: sessions default to reference-parity; `OptimizerSession(...,
+parity=False)` / `serve(..., parity=False)` / `neo-mpc-server --product`
+serve PRODUCT mode instead — the smooth bilinear objective + true predicted
+footprint through the same SQP on every path (single-robot, fleet,
+full-tick). Pair with config.product_config's solver knobs.
+
 `set_plan`/`tick` is the FULL-TICK mode the reference cannot offer: the
 server runs the entire fused controller tick (plan pruning + carrot
 selection + hysteresis + solve + safety post-processing — both reference
@@ -104,8 +110,14 @@ class OptimizerSession:
 
     def __init__(self, cfg: Optional[MpcConfig] = None, pipelined: bool = False,
                  checkpoint_dir: Optional[str] = None, max_slots: int = 1024,
-                 slot_ttl: Optional[float] = None):
+                 slot_ttl: Optional[float] = None, parity: bool = True):
         self.cfg = cfg or default_config()
+        # parity=False serves PRODUCT mode (the smooth bilinear objective +
+        # true predicted footprint through the same SQP — the recommended
+        # non-parity deployment, config.product_config): every executable
+        # this session builds (single-robot, fleet, full-tick) then runs the
+        # product objective. Survives op_configure rebuilds.
+        self.parity = parity
         # Slot lifecycle (round-3 verdict: slots never died — a long-running
         # server with churning robot ids grew device/host memory without
         # bound). max_slots is a hard LRU cap enforced when a NEW slot is
@@ -296,7 +308,7 @@ class OptimizerSession:
 
     def _rebuild(self) -> None:
         cfg = self.cfg
-        solver = make_sqp_solver(cfg, make_objective(cfg, parity=True))
+        solver = make_sqp_solver(cfg, make_objective(cfg, parity=self.parity))
         pack_common = self._pack_common
 
         def pack_out(out):
@@ -718,7 +730,7 @@ class OptimizerSession:
         from .engine import make_batched_controller_step
 
         cfg = self.cfg
-        step = make_batched_controller_step(cfg, parity=True)
+        step = make_batched_controller_step(cfg, parity=self.parity)
 
         pack_common = self._pack_common
 
@@ -841,7 +853,7 @@ class OptimizerSession:
         from .engine import controller_step
 
         cfg = self.cfg
-        solver = make_sqp_solver(cfg, make_objective(cfg, parity=True))
+        solver = make_sqp_solver(cfg, make_objective(cfg, parity=self.parity))
         pack_common = self._pack_common
 
         def fn(state, plans, reqs, costmap, footprint):
@@ -1016,7 +1028,7 @@ def serve(host: str = "127.0.0.1", port: int = 7180,
           cfg: Optional[MpcConfig] = None, ready_event=None,
           pipelined: bool = False,
           checkpoint_dir: Optional[str] = None, max_slots: int = 1024,
-          slot_ttl: Optional[float] = None) -> None:
+          slot_ttl: Optional[float] = None, parity: bool = True) -> None:
     """Blocking server loop (ros2 run … mpc_optimization_server equivalent,
     README.md:92). checkpoint_dir enables the save_state/load_state ops,
     confined to that directory.
@@ -1031,7 +1043,8 @@ def serve(host: str = "127.0.0.1", port: int = 7180,
 
     session = OptimizerSession(cfg, pipelined=pipelined,
                                checkpoint_dir=checkpoint_dir,
-                               max_slots=max_slots, slot_ttl=slot_ttl)
+                               max_slots=max_slots, slot_ttl=slot_ttl,
+                               parity=parity)
     lock = threading.Lock()
 
     class Handler(socketserver.StreamRequestHandler):

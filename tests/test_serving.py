@@ -1030,3 +1030,74 @@ def test_json_default_numpy_and_typeerror():
     assert json.loads(s) == {"data": [0.0, 1.0, 2.0]}
     with pytest.raises(TypeError, match="object"):
         json.dumps({"bad": object()}, default=_json_default)
+
+
+def test_product_mode_session(cfg):
+    """parity=False serves PRODUCT mode (round 5): the session's executables
+    run the smooth objective through the same SQP. Commands must be sane,
+    converged, and DIFFERENT from the parity session's on a graded map
+    (bilinear gradients steer; parity's nearest-cell term doesn't)."""
+    import dataclasses
+
+    pcfg = cfg.replace(
+        parallel_line_search=True,
+        compat=dataclasses.replace(
+            cfg.compat, buggy_odom_yaw=False, footprint_alias_noop=False,
+            lethal_1000x=False, unsquared_control_cost=False,
+            no_angle_wrap=False),
+        w_costmap=2.0)
+    # Graded cost ahead: product mode sees lateral gradients.
+    yy, xx = np.meshgrid(np.arange(40) * 0.05 - 1.0,
+                         np.arange(40) * 0.05 - 1.0, indexing="ij")
+    grid = 0.9 * np.exp(-(((xx - 0.4) ** 2) + yy ** 2) / 0.04)
+
+    def drive(session):
+        session.handle({"op": "set_costmap", "data": grid.tolist(),
+                        "origin": [-1, -1], "resolution": 0.05})
+        session.handle({"op": "set_footprint",
+                        "points": [[0.3, 0.2], [-0.3, 0.2], [-0.3, -0.2],
+                                   [0.3, -0.2]]})
+        return session.handle(_opt_req(current_vel=[0.3, 0, 0]))
+
+    rp = drive(OptimizerSession(pcfg, parity=False))
+    rr = drive(OptimizerSession(cfg.replace(w_costmap=2.0)))
+    assert "output_vel" in rp and np.isfinite(rp["output_vel"]).all()
+    assert rp["success"] is True
+    assert not np.allclose(rp["output_vel"], rr["output_vel"])
+
+    # op_configure rebuilds keep product mode (weights change, same mode).
+    s = OptimizerSession(pcfg, parity=False)
+    drive(s)
+    s.handle({"op": "configure", "params": {"prediction_horizon": 0.9}})
+    assert s.parity is False
+    r2 = s.handle(_opt_req(current_vel=[0.3, 0, 0]))
+    assert "output_vel" in r2 and np.isfinite(r2["output_vel"]).all()
+
+
+def test_product_mode_full_tick(cfg):
+    """Product mode through the FULL-TICK path (set_plan + tick): the
+    batched controller step builds with parity=False."""
+    import dataclasses
+
+    pcfg = cfg.replace(
+        parallel_line_search=True,
+        compat=dataclasses.replace(
+            cfg.compat, buggy_odom_yaw=False, footprint_alias_noop=False,
+            lethal_1000x=False, unsquared_control_cost=False,
+            no_angle_wrap=False))
+    s = OptimizerSession(pcfg, parity=False)
+    s.handle({"op": "set_costmap", "data": np.zeros((40, 40)).tolist(),
+              "origin": [-1, -1], "resolution": 0.05})
+    s.handle({"op": "set_footprint",
+              "points": [[0.3, 0.2], [-0.3, 0.2], [-0.3, -0.2], [0.3, -0.2]]})
+    plan = [[0.05 * i, 0.0, 0.0] for i in range(30)]
+    s.handle({"op": "set_plan", "poses": plan})
+    pose, vel = [0.0, 0.0, 0.0], [0.0, 0.0, 0.0]
+    for _ in range(8):
+        r = s.handle({"op": "tick", "pose": pose, "vel": vel,
+                      "delta_t": 1 / 30})
+        assert "output_vel" in r, r
+        vel = r["output_vel"]
+        pose = [pose[0] + vel[0] / 30, pose[1] + vel[1] / 30,
+                pose[2] + vel[2] / 30]
+    assert pose[0] > 0.02  # moved along the plan under product control

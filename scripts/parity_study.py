@@ -287,13 +287,15 @@ def _oracle_sequence(task):
     cfg = _WORKER["cfg"]
     npcm = NpCostmap(cm_data, cm_origin, cm_res)
     srv = OracleServer(cfg)
-    cmds = []
+    cmds, funs, succ = [], [], []
     for (pose, carrot, goal, vel, sw) in inputs:
         nps = NpScenario(pose, carrot, goal, vel, fp_np, npcm,
                          switch_opt=bool(sw), control_interval=1 / 30)
-        cmd, _ = srv.solve(nps, 1 / 30)
+        cmd, diag = srv.solve(nps, 1 / 30)
         cmds.append([float(v) for v in cmd])
-    return {"idx": int(idx), "cmds": cmds}
+        funs.append(float(diag["fun"]))
+        succ.append(bool(diag["success"]))
+    return {"idx": int(idx), "cmds": cmds, "funs": funs, "success": succ}
 
 
 def run_sequence_suite(name, chassis, n, ticks, seed, workers):
@@ -340,6 +342,8 @@ def run_sequence_suite(name, chassis, n, ticks, seed, workers):
 
     t0 = time.time()
     dev_cmds = np.zeros((ticks, n, 3))
+    dev_funs = np.zeros((ticks, n))
+    goal_dist = np.zeros((ticks, n))  # robot->goal distance entering tick t
     gated = np.zeros((n,), bool)     # any tick hit a plugin gate: excluded
     seq_inputs = [[] for _ in range(n)]
     for t in range(ticks):
@@ -353,7 +357,10 @@ def run_sequence_suite(name, chassis, n, ticks, seed, workers):
         gated |= np.asarray(pr.plan_empty) | np.asarray(pr.lethal)
         cmd = np.asarray(out.cmd_vel, float)
         dev_cmds[t] = cmd
+        dev_funs[t] = np.asarray(out.fun, float)
         pose_np = np.asarray(pose, float)
+        goal_dist[t] = np.hypot(pose_np[:, 0] - goal_np[:, 0],
+                                pose_np[:, 1] - goal_np[:, 1])
         carrot_np = np.asarray(pr.carrot_pose, float)
         closer_np = np.asarray(pr.closer_to_goal)
         vel_np = np.asarray(vel, float)
@@ -388,6 +395,13 @@ def run_sequence_suite(name, chassis, n, ticks, seed, workers):
     per_tick = np.zeros((ticks,))
     per_tick_n = 0
     worst_seq = 0.0
+    # Unmatched-tick classification (mirrors the single-tick study): both
+    # sides minimize the SAME per-tick objective (the harness feeds identical
+    # pose/carrot/vel; only warm-start and filter state differ), so the
+    # achieved-objective gap says whether an unmatched command is a near-tie
+    # arg-min (flat objective, e.g. the goal phase) or a real solver loss.
+    un_gap, un_dist, un_fail = [], [], 0
+    all_dist = []
     for o in rows:
         i = o["idx"]
         d = np.abs(dev_cmds[:, i, :] - np.asarray(o["cmds"])).max(axis=-1)
@@ -395,6 +409,14 @@ def run_sequence_suite(name, chassis, n, ticks, seed, workers):
         per_tick += (d < CMD_TOL)
         per_tick_n += 1
         worst_seq = max(worst_seq, float(d.max()))
+        all_dist.extend(goal_dist[:, i].tolist())
+        ora_funs = np.asarray(o["funs"])
+        for t in np.nonzero(d >= CMD_TOL)[0]:
+            un_gap.append(float(dev_funs[t, i] - ora_funs[t]))
+            un_dist.append(float(goal_dist[t, i]))
+            un_fail += int(not o["success"][t])
+    un_gap = np.asarray(un_gap)
+    un_dist_a = np.asarray(un_dist)
     diffs = np.asarray(diffs)
     summary = {
         "suite": name,
@@ -409,11 +431,30 @@ def run_sequence_suite(name, chassis, n, ticks, seed, workers):
         "cmd_diff_max": float(diffs.max()),
         "matched_frac_per_tick": [round(float(v / max(per_tick_n, 1)), 4)
                                   for v in per_tick],
+        "goal_dist_p50_all_m": float(np.percentile(all_dist, 50)),
+        "unmatched": {
+            "count": int(un_gap.size),
+            "device_better_objective": int((un_gap < -OBJ_TIE_TOL).sum()),
+            "oracle_better_objective": int((un_gap > OBJ_TIE_TOL).sum()),
+            "objective_tie": int((np.abs(un_gap) <= OBJ_TIE_TOL).sum()),
+            "worst_oracle_better_gap": float(
+                un_gap[un_gap > OBJ_TIE_TOL].max()) if
+            (un_gap > OBJ_TIE_TOL).any() else 0.0,
+            "scipy_failed": int(un_fail),
+            "goal_dist_p50_m": float(np.percentile(un_dist_a, 50))
+            if un_dist_a.size else None,
+            "goal_dist_p90_m": float(np.percentile(un_dist_a, 90))
+            if un_dist_a.size else None,
+        },
     }
+    u = summary["unmatched"]
     print(f"[{name}] sequence parity: {summary['matched']}/"
           f"{summary['checked']} (frac={summary['matched_frac']:.3f}), "
           f"p99 {summary['cmd_diff_p99']:.2e}, last-tick frac "
-          f"{summary['matched_frac_per_tick'][-1]:.3f}")
+          f"{summary['matched_frac_per_tick'][-1]:.3f}; unmatched: "
+          f"dev-better {u['device_better_objective']} / ora-better "
+          f"{u['oracle_better_objective']} / tie {u['objective_tie']}, "
+          f"goal-dist p50 {u['goal_dist_p50_m']}")
     return summary
 
 

@@ -446,31 +446,34 @@ def _main() -> None:
     # prox-FISTA override (round-4 verdict item 1: the recommendation had
     # zero measurements behind it). Same quality suite as the parity pass;
     # throughput on the headline shapes.
-    pcfg = None
+    # The product_config() operating point on the bench weights: quirks
+    # off + fused line-search WAVE (parallel_line_search; +52 % for the
+    # expensive smooth objective) + the per-solve hoisted PATCH sampler
+    # (solver_costmap_patch; bilinear/footprint reads contract over a
+    # (P, P) window instead of the full map — +78 % at map-64, +135 %
+    # at map-128, making the product solve map-size-independent) + fast
+    # backend-precision patch picks (solver_patch_exact_picks=False, +34 %;
+    # round-5 A/Bs, see config.product_config docstring). 0.46 m = the
+    # MPO-700 suite footprint's circumradius. Built UNCONDITIONALLY so the
+    # prox-FISTA cross-check below measures the same program whether or not
+    # the SQP pass had budget (its row is a round-over-round lineage).
+    import dataclasses as _dc
+
+    from neo_mpc_planner2_tpu.ops.costmap import (
+        required_product_patch_halfwidth)
+    pcfg = cfg.replace(
+        parallel_line_search=True, solver_ls_quad_interp=False,
+        solver_patch_exact_picks=False,
+        compat=_dc.replace(
+            cfg.compat, buggy_odom_yaw=False, footprint_alias_noop=False,
+            lethal_1000x=False, unsquared_control_cost=False,
+            no_angle_wrap=False))
+    pcfg = pcfg.replace(solver_costmap_patch=(
+        required_product_patch_halfwidth(pcfg, 0.05, 0.46)))
     try:
         if remaining() < 420:
             raise TimeoutError("skipped: <420 s of budget left "
                                "(reserved for the established passes)")
-        import dataclasses as _dc
-
-        # The product_config() operating point on the bench weights: quirks
-        # off + fused line-search WAVE (parallel_line_search; +52 % for the
-        # expensive smooth objective) + the per-solve hoisted PATCH sampler
-        # (solver_costmap_patch; bilinear/footprint reads contract over a
-        # (P, P) window instead of the full map — +78 % at map-64, +135 %
-        # at map-128, making the product solve map-size-independent; round-5
-        # A/Bs, see config.product_config docstring). 0.46 m = the MPO-700
-        # suite footprint's circumradius.
-        from neo_mpc_planner2_tpu.ops.costmap import (
-            required_product_patch_halfwidth)
-        pcfg = cfg.replace(
-            parallel_line_search=True, solver_ls_quad_interp=False,
-            compat=_dc.replace(
-                cfg.compat, buggy_odom_yaw=False, footprint_alias_noop=False,
-                lethal_1000x=False, unsquared_control_cost=False,
-                no_angle_wrap=False))
-        pcfg = pcfg.replace(solver_costmap_patch=(
-            required_product_patch_halfwidth(pcfg, 0.05, 0.46)))
         simsq = jax.jit(
             lambda b, st, po, ve, t: batch_simulate(
                 pcfg, b, t, parity=False, init=(st, po, ve)),
@@ -536,15 +539,8 @@ def _main() -> None:
         if remaining() < 390:
             raise TimeoutError("skipped: <390 s of budget left "
                                "(reserved for the established passes)")
-        import dataclasses as _dc
-
         from neo_mpc_planner2_tpu.ops.objective import make_objective as _mo
         from neo_mpc_planner2_tpu.solver import make_solver as _ms
-        if pcfg is None:
-            pcfg = cfg.replace(compat=_dc.replace(
-                cfg.compat, buggy_odom_yaw=False, footprint_alias_noop=False,
-                lethal_1000x=False, unsquared_control_cost=False,
-                no_angle_wrap=False))
         psolver = jax.vmap(_ms(pcfg, _mo(pcfg, parity=False)))
         simp = jax.jit(
             lambda b, st, po, ve, t: batch_simulate(

@@ -142,6 +142,18 @@ class MpcConfig:
     # MUST satisfy h >= required_patch_halfwidth(cfg, resolution) — validated
     # by the host-side entry points that see concrete resolutions.
     solver_costmap_patch: int = 0
+    # Pick precision for the patch samplers' in-loop one-hot contractions
+    # (ops.costmap.patch_cost_at_cells). True (default): Precision.HIGHEST —
+    # picked values bit-identical to the full-map samplers on every backend.
+    # False: the backend's fast matmul path — on TPU a single bf16 pass, so
+    # picked cost values round to 8 mantissa bits (≤2^-9 relative on [0, 1]
+    # costs; CPU stays bit-exact either way). Measured at the product
+    # operating point (batch 4096, map 64, TPU v5e): exact 76.9k vs fast
+    # 103.0k solves/s (+34 %) — product_config ships False (the smooth
+    # objective has no exact-equality semantics and its quality gates were
+    # measured at the fast setting); leave True wherever the bit-identical
+    # patch guarantee is load-bearing (e.g. parity-mode patch sampling).
+    solver_patch_exact_picks: bool = True
     # Gather the solver's hot-loop costmap samples from a uint8 raw-scale
     # (0-255) companion buffer instead of the f32 map — 4x less random-read
     # footprint for the latency-bound merit-eval gather. Decode is u8/255.0,
@@ -352,7 +364,9 @@ def product_config() -> MpcConfig:
     patch extraction per solve — every bilinear point cost and footprint
     boundary sample then contracts over the (P, P) window instead of the
     full map (ops.costmap.ProductPatchSampler; values bit-identical inside
-    the coverage guarantee). Measured on top of the wave: 64.2k -> 113.9k
+    the coverage guarantee at solver_patch_exact_picks=True — this preset
+    trades to backend-precision picks, see the third lever below).
+    Measured on top of the wave: 64.2k -> 113.9k
     solves/s at map-64 (+78 %) and 47.9k -> 112.8k at map-128 (+135 %) —
     the product solve becomes map-size-independent. The halfwidth is in
     CELLS and depends on resolution + footprint, so the preset cannot bake
@@ -367,6 +381,15 @@ def product_config() -> MpcConfig:
 
     (too small is conservative, not unsafe: out-of-patch reads are lethal).
 
+    Third lever (round-5 review follow-up): `solver_patch_exact_picks=False`
+    — the patch sampler's in-loop one-hot picks run at the backend's fast
+    matmul precision instead of Precision.HIGHEST: **+34 %** (76.9k ->
+    103.0k at the bench product point). On TPU picked cost values round to
+    bf16 (≤2^-9 relative); CPU stays bit-exact. Safe here because the
+    smooth objective has no exact-equality semantics and the preset's
+    quality rows were measured at this setting; the library default stays
+    True (exact).
+
     Use with `parity=False` engines/sims:
         cfg = product_config()
         run = batch_simulate(cfg, batch, ticks, parity=False)
@@ -377,6 +400,14 @@ def product_config() -> MpcConfig:
     return base.replace(
         parallel_line_search=True,
         solver_ls_quad_interp=False,
+        # Fast (backend-default) matmul precision for the patch sampler's
+        # in-loop picks: +34 % measured (76.9k -> 103.0k at batch 4096,
+        # map 64; PERF.md round 11f). On TPU picked cost values round to
+        # bf16 (≤2^-9 relative) — immaterial for the smooth objective,
+        # whose quality gates were measured at this setting; CPU remains
+        # bit-exact. Set True to restore device bit-identity with the
+        # full-map samplers at the measured cost.
+        solver_patch_exact_picks=False,
         compat=_dc.replace(
             base.compat, buggy_odom_yaw=False, footprint_alias_noop=False,
             lethal_1000x=False, unsquared_control_cost=False,

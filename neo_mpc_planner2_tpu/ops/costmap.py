@@ -368,7 +368,12 @@ def cost_at_cells_onehot(cm: Costmap, mx: jnp.ndarray, my: jnp.ndarray) -> jnp.n
     myc = jnp.clip(my, 0, h - 1)
     rows = (myc[:, None] == jnp.arange(h)[None, :]).astype(cm.data.dtype)  # (S, H)
     cols = (mxc[:, None] == jnp.arange(w)[None, :]).astype(cm.data.dtype)  # (S, W)
-    t = jnp.dot(rows, cm.data, preferred_element_type=jnp.float32)          # (S, W)
+    # HIGHEST: TPU's default bf16 matmul pass would round the picked f32
+    # values to 8 mantissa bits; the bf16-triple split is exact for 0/1
+    # factors, keeping the "picks exactly one cell" contract bit-true on
+    # device, not just on CPU.
+    t = jnp.dot(rows, cm.data, precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)                         # (S, W)
     vals = jnp.sum(t * cols, axis=-1)
     return jnp.where(in_bounds, vals, LETHAL_COST)
 
@@ -492,18 +497,8 @@ def patch_cost_at_world(cm: Costmap, patch: CostmapPatch, wx: jnp.ndarray,
     read). Sampling is a rows/cols one-hot contraction (P ≈ 33), which stays
     in the solver's fused loop instead of a latency-bound HBM gather.
     wx/wy: (S,) sample points."""
-    P = patch.data.shape[-1]
     mx, my = world_to_map(cm, wx, wy)
-    ix = mx - patch.cell0[..., 0]
-    iy = my - patch.cell0[..., 1]
-    inb = (ix >= 0) & (ix < P) & (iy >= 0) & (iy < P)
-    ixc = jnp.clip(ix, 0, P - 1)
-    iyc = jnp.clip(iy, 0, P - 1)
-    rows = (iyc[..., :, None] == jnp.arange(P)[None, :]).astype(patch.data.dtype)
-    cols = (ixc[..., :, None] == jnp.arange(P)[None, :]).astype(patch.data.dtype)
-    t = jnp.einsum("...sp,...pq->...sq", rows, patch.data)
-    vals = jnp.sum(t * cols, axis=-1)
-    return jnp.where(inb, vals, LETHAL_COST)
+    return patch_cost_at_cells(patch, mx, my)
 
 
 def extract_patch_onehot(cm: Costmap, cx: jnp.ndarray, cy: jnp.ndarray,
@@ -539,11 +534,20 @@ def extract_patch_onehot(cm: Costmap, cx: jnp.ndarray, cy: jnp.ndarray,
 
 
 def patch_cost_at_cells(patch: CostmapPatch, mx: jnp.ndarray,
-                        my: jnp.ndarray) -> jnp.ndarray:
+                        my: jnp.ndarray, exact: bool = True) -> jnp.ndarray:
     """Nearest-cell read by FULL-MAP cell indices through a patch — the
     cell-indexed companion of patch_cost_at_world (same one-hot contraction,
     same out-of-patch -> LETHAL policy; exact for every cell inside the
-    patch's coverage guarantee, where off-map cells carry the lethal ring)."""
+    patch's coverage guarantee, where off-map cells carry the lethal ring).
+
+    exact=True (default): Precision.HIGHEST picks — bit-identical to the
+    full-map samplers on every backend. exact=False: the backend's default
+    matmul precision — on TPU a single bf16 pass, i.e. picked values round
+    to 8 mantissa bits (≤2^-9 relative on [0, 1] costs; CPU stays exact
+    either way). The fast path is for the smooth PRODUCT objective, whose
+    quality gates were measured at it and which has no exact-equality
+    semantics downstream — measured +34 % on the product solve
+    (PERF.md round 11f); config.solver_patch_exact_picks plumbs the choice."""
     P = patch.data.shape[-1]
     ix = mx - patch.cell0[..., 0]
     iy = my - patch.cell0[..., 1]
@@ -554,38 +558,29 @@ def patch_cost_at_cells(patch: CostmapPatch, mx: jnp.ndarray,
         patch.data.dtype)
     cols = (ixc[..., :, None] == jnp.arange(P)[None, :]).astype(
         patch.data.dtype)
-    t = jnp.einsum("...sp,...pq->...sq", rows, patch.data)
+    t = jnp.einsum("...sp,...pq->...sq", rows, patch.data,
+                   precision=(jax.lax.Precision.HIGHEST if exact
+                              else jax.lax.Precision.DEFAULT))
     vals = jnp.sum(t * cols, axis=-1)
     return jnp.where(inb, vals, LETHAL_COST)
 
 
 def patch_cost_at_world_bilinear(cm: Costmap, patch: CostmapPatch,
-                                 wx: jnp.ndarray,
-                                 wy: jnp.ndarray) -> jnp.ndarray:
+                                 wx: jnp.ndarray, wy: jnp.ndarray,
+                                 exact: bool = True) -> jnp.ndarray:
     """cost_at_world_bilinear through a patch: identical index/weight math;
     the four neighbor reads become ONE fused 4S-point one-hot contraction on
     the (P, P) window instead of four full-map reads. Values match the
     full-map sampler bit-for-bit inside the coverage guarantee (the +1
     bilinear neighbor must be inside the patch — include it in the
     halfwidth; see required_product_patch_halfwidth)."""
-    ox, oy = grid_origin(cm)
-    fx = (wx - ox) / cm.resolution - 0.5
-    fy = (wy - oy) / cm.resolution - 0.5
-    x0 = jnp.floor(fx)
-    y0 = jnp.floor(fy)
-    tx = fx - x0
-    ty = fy - y0
-    x0i = jnp.int32(x0)
-    y0i = jnp.int32(y0)
-    if cm.win_cells is not None:  # window-local -> world-frame cell indices
-        x0i = x0i + cm.win_lo[..., 0]
-        y0i = y0i + cm.win_lo[..., 1]
+    x0i, y0i, tx, ty = _bilinear_setup(cm, wx, wy)
     shape = x0i.shape                       # (S,) sample points (vmap batches)
     x0f = x0i.reshape(-1)
     y0f = y0i.reshape(-1)
     mx = jnp.stack([x0f, x0f + 1, x0f, x0f + 1], axis=-1).reshape(-1)  # (4S,)
     my = jnp.stack([y0f, y0f, y0f + 1, y0f + 1], axis=-1).reshape(-1)
-    c = patch_cost_at_cells(patch, mx, my).reshape(shape + (4,))
+    c = patch_cost_at_cells(patch, mx, my, exact=exact).reshape(shape + (4,))
     c00, c10, c01, c11 = c[..., 0], c[..., 1], c[..., 2], c[..., 3]
     top = c00 * (1.0 - tx) + c10 * tx
     bot = c01 * (1.0 - tx) + c11 * tx
@@ -611,24 +606,35 @@ class ProductPatchSampler:
     extraction (MXU one-hot, no gather) feeds every bilinear point cost and
     every footprint boundary sample of the solve, so the solver's line-search
     loop contracts over (P, P) ≈ 10³ cells instead of the full map
-    (64² = 4.1k, 128² = 16.4k) — the product twin of make_point_sampler."""
+    (64² = 4.1k, 128² = 16.4k) — the product twin of make_point_sampler.
 
-    def __init__(self, cm: Costmap, cx, cy, halfwidth: int):
+    exact: pick precision for the in-loop contractions (see
+    patch_cost_at_cells) — True is bit-identical to the full-map samplers
+    on every backend; False takes the backend's fast matmul path (+34 % on
+    TPU at the product operating point, picks bf16-rounded there; the
+    product_config preset ships False via config.solver_patch_exact_picks).
+    The per-solve patch EXTRACTION is Precision.HIGHEST either way."""
+
+    def __init__(self, cm: Costmap, cx, cy, halfwidth: int,
+                 exact: bool = True):
         if cm.win_cells is not None:
             raise ValueError(
                 "product patch sampling is not supported on a rolling-window "
                 "VIEW costmap (out-of-window cells would read as map values); "
                 "leave solver_costmap_patch=0 for views")
         self.cm = cm
+        self.exact = exact
         self.patch = extract_patch_onehot(cm, cx, cy, halfwidth)
 
     def bilinear(self, wx, wy):
-        return patch_cost_at_world_bilinear(self.cm, self.patch, wx, wy)
+        return patch_cost_at_world_bilinear(self.cm, self.patch, wx, wy,
+                                            exact=self.exact)
 
     def nearest(self, wx, wy):
         shape = wx.shape
         mx, my = world_to_map(self.cm, wx.reshape(-1), wy.reshape(-1))
-        return patch_cost_at_cells(self.patch, mx, my).reshape(shape)
+        return patch_cost_at_cells(self.patch, mx, my,
+                                   exact=self.exact).reshape(shape)
 
 
 def make_point_sampler(cm: Costmap, cx, cy, patch_halfwidth: int):
@@ -687,13 +693,12 @@ def make_point_sampler(cm: Costmap, cx, cy, patch_halfwidth: int):
     return sample
 
 
-def cost_at_world_bilinear(cm: Costmap, wx: jnp.ndarray, wy: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear world-coordinate sampling (product mode; BASELINE.json config 3).
-
-    Smooth in (wx, wy) so jax.grad of the costmap term gives a useful descent
-    direction instead of the zero-almost-everywhere gradient of nearest-cell
-    sampling. Samples at cell centers.
-    """
+def _bilinear_setup(cm: Costmap, wx: jnp.ndarray, wy: jnp.ndarray):
+    """Shared bilinear index/weight derivation: world point -> the world-frame
+    cell index of the lower-left neighbor plus fractional weights (cell-center
+    sampling). Single source of truth for the full-map and patch-backed
+    bilinear samplers — the two must stay bit-identical in their index math
+    for the patch equivalence guarantee to hold."""
     ox, oy = grid_origin(cm)
     fx = (wx - ox) / cm.resolution - 0.5
     fy = (wy - oy) / cm.resolution - 0.5
@@ -706,6 +711,17 @@ def cost_at_world_bilinear(cm: Costmap, wx: jnp.ndarray, wy: jnp.ndarray) -> jnp
     if cm.win_cells is not None:  # window-local -> world-frame cell indices
         x0i = x0i + cm.win_lo[..., 0]
         y0i = y0i + cm.win_lo[..., 1]
+    return x0i, y0i, tx, ty
+
+
+def cost_at_world_bilinear(cm: Costmap, wx: jnp.ndarray, wy: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear world-coordinate sampling (product mode; BASELINE.json config 3).
+
+    Smooth in (wx, wy) so jax.grad of the costmap term gives a useful descent
+    direction instead of the zero-almost-everywhere gradient of nearest-cell
+    sampling. Samples at cell centers.
+    """
+    x0i, y0i, tx, ty = _bilinear_setup(cm, wx, wy)
 
     c00 = cost_at_cell(cm, x0i, y0i)
     c10 = cost_at_cell(cm, x0i + 1, y0i)

@@ -276,12 +276,13 @@ def make_solver(cfg: MpcConfig, objective, ftol: float | None = None,
             # (sqp._lane_fobj): FISTA's backtracking re-evaluates f_smooth
             # often, so the full-map bilinear/footprint reads dominate it
             # even harder. Values bit-identical inside the coverage
-            # guarantee (ProductPatchSampler).
+            # guarantee at solver_patch_exact_picks=True; backend-precision
+            # picks otherwise (ProductPatchSampler).
             from .ops.costmap import ProductPatchSampler
 
             sampler = ProductPatchSampler(
                 scen.costmap, scen.current_pose[0], scen.current_pose[1],
-                cfg.solver_costmap_patch)
+                cfg.solver_costmap_patch, exact=cfg.solver_patch_exact_picks)
         f_smooth = lambda u: objective(u, scen, fp_term,
                                        include_control=False,
                                        point_sampler=sampler)

@@ -828,7 +828,7 @@ def _lane_fobj(cfg: MpcConfig, objective, scen, fp_term=None):
 
         sampler = ProductPatchSampler(
             scen.costmap, scen.current_pose[0], scen.current_pose[1],
-            cfg.solver_costmap_patch)
+            cfg.solver_costmap_patch, exact=cfg.solver_patch_exact_picks)
         return lambda u: objective(u, scen, point_sampler=sampler)
     return lambda u: objective(u, scen)
 

@@ -53,6 +53,7 @@ def bench_product_cfg(control_steps: int = 3):
         lookahead_dist_min=0.4, lookahead_dist_max=0.4,
         lookahead_dist_close_to_goal=0.4,
         solver_ls_quad_interp=False,
+        solver_patch_exact_picks=False,
     )
     cfg = cfg.replace(compat=dc.replace(
         cfg.compat, buggy_odom_yaw=False, footprint_alias_noop=False,

@@ -242,6 +242,43 @@ def test_product_config_preset_closed_loop(cfg):
                   <= pcfg.max_vel_trans + 1e-3)
 
 
+def test_patch_exact_picks_knob(cfg):
+    """product_config ships fast (backend-precision) patch picks; the knob
+    plumbs through to the sampler, and on CPU — where every matmul precision
+    is f32 — exact and fast solves are bit-identical (the settings may only
+    differ on TPU, where fast picks are bf16-rounded; PERF.md round 11f)."""
+    import dataclasses
+
+    import neo_mpc_planner2_tpu as mpc
+    from neo_mpc_planner2_tpu.ops.costmap import (
+        ProductPatchSampler, required_product_patch_halfwidth)
+    from neo_mpc_planner2_tpu.scenarios import make_scenario_batch
+    from neo_mpc_planner2_tpu.simulation import batch_simulate
+
+    assert mpc.product_config().solver_patch_exact_picks is False
+    assert mpc.default_config().solver_patch_exact_picks is True
+    assert ProductPatchSampler.__init__.__defaults__[-1] is True
+
+    base = cfg.replace(
+        solver_max_iters=8, solver_max_backtracks=7,
+        parallel_line_search=True,
+        compat=dataclasses.replace(
+            cfg.compat, buggy_odom_yaw=False, footprint_alias_noop=False,
+            lethal_1000x=False, unsquared_control_cost=False,
+            no_angle_wrap=False))
+    base = base.replace(solver_costmap_patch=(
+        required_product_patch_halfwidth(base, 0.05, 0.46)))
+    sb = make_scenario_batch(base, 4, seed=11, map_size=64, plan_points=32,
+                             plan_length_range=(0.7, 1.0),
+                             clear_corridor_m=0.55, center_on="plan")
+    r_exact = batch_simulate(base.replace(solver_patch_exact_picks=True),
+                             sb, 6, parity=False)
+    r_fast = batch_simulate(base.replace(solver_patch_exact_picks=False),
+                            sb, 6, parity=False)
+    np.testing.assert_array_equal(np.asarray(r_exact.cmds),
+                                  np.asarray(r_fast.cmds))
+
+
 class TestProductPatchSampler:
     """The per-solve hoisted patch sampler for the smooth objective
     (round 5): values must be BIT-IDENTICAL to the full-map samplers inside

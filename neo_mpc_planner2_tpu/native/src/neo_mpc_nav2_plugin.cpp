@@ -120,22 +120,36 @@ class JsonTcpClient {
 
   bool connected() const { return fd_ >= 0; }
 
+  void disconnect() { close_(); }
+
   // One request -> one reply line (the protocol is strictly one JSON object
   // per newline in each direction; requests serialize server-side).
+  // MSG_NOSIGNAL: a peer that died between ticks must surface as an error
+  // return, not a SIGPIPE that kills the whole controller_server process
+  // (rclcpp installs no SIGPIPE handler). Any transport failure closes the
+  // socket so the caller's next tick can reconnect instead of throwing on a
+  // dead fd forever.
   std::string call(const std::string& json_line) {
     std::string out = json_line;
     out.push_back('\n');
     size_t sent = 0;
     while (sent < out.size()) {
-      const ssize_t n = ::send(fd_, out.data() + sent, out.size() - sent, 0);
-      if (n <= 0) throw std::runtime_error("optimizer service send failed");
+      const ssize_t n = ::send(fd_, out.data() + sent, out.size() - sent,
+                               MSG_NOSIGNAL);
+      if (n <= 0) {
+        close_();
+        throw std::runtime_error("optimizer service send failed");
+      }
       sent += static_cast<size_t>(n);
     }
     std::string line;
     char c;
     for (;;) {
       const ssize_t n = ::recv(fd_, &c, 1, 0);
-      if (n <= 0) throw std::runtime_error("optimizer service closed");
+      if (n <= 0) {
+        close_();
+        throw std::runtime_error("optimizer service closed");
+      }
       if (c == '\n') break;
       line.push_back(c);
     }
@@ -222,15 +236,16 @@ class NeoMpcTpuController : public nav2_core::Controller {
                         p.lookahead_dist_close_to_goal);
     node->get_parameter("controller_frequency", p.controller_frequency);
     params_ = p;
+    // Lifecycle can drive configure -> cleanup -> configure; never leak the
+    // previous cycle's host (or keep its stale TCP connection).
+    if (host_) nmp_host_destroy(host_);
     host_ = nmp_host_create(&p);
 
-    std::string srv_host;
-    int srv_port = 0;
-    node->get_parameter(plugin_name_ + ".optimizer_host", srv_host);
-    node->get_parameter(plugin_name_ + ".optimizer_port", srv_port);
+    node->get_parameter(plugin_name_ + ".optimizer_host", srv_host_);
+    node->get_parameter(plugin_name_ + ".optimizer_port", srv_port_);
     // wait-for-service loop (cpp:325-330): retry at 1 Hz until the serving
     // layer accepts the connection or ROS shuts down.
-    while (!client_.connect_once(srv_host, srv_port)) {
+    while (!client_.connect_once(srv_host_, srv_port_)) {
       if (!rclcpp::ok()) {
         RCLCPP_ERROR(logger_,
                      "Interrupted while waiting for the service. Exiting.");
@@ -250,6 +265,11 @@ class NeoMpcTpuController : public nav2_core::Controller {
   void cleanup() override {
     global_path_pub_.reset();
     carrot_pub_.reset();
+    client_.disconnect();
+    if (host_) {
+      nmp_host_destroy(host_);
+      host_ = nullptr;
+    }
   }
 
   void activate() override {
@@ -283,7 +303,6 @@ class NeoMpcTpuController : public nav2_core::Controller {
     // Goal-change slow-down reset lives in the host (cpp:277-279 twin).
     nmp_host_set_plan(host_, plan.data(),
                       static_cast<int32_t>(plan.size()));
-    plan_frame_ = path.header.frame_id;
   }
 
   geometry_msgs::msg::TwistStamped computeVelocityCommands(
@@ -342,16 +361,34 @@ class NeoMpcTpuController : public nav2_core::Controller {
 
     // The service hop (cpp:240-250): blocking, like the reference's
     // result.get(). Serving replies {"output_vel": [vx, vy, wz], ...}.
+    // Full %.17g precision throughout (ostream's default 6 significant
+    // digits would perturb current_vel/control_interval at ~1e-7 — the
+    // solver's warm-start continuity and accel box are anchored on them).
+    char tail[256];
+    std::snprintf(tail, sizeof tail,
+                  ", \"current_vel\": [%.17g, %.17g, %.17g]"
+                  ", \"switch_opt\": %s"
+                  ", \"control_interval\": %.17g}",
+                  req.vel[0], req.vel[1], req.vel[2],
+                  req.switch_opt ? "true" : "false", req.control_interval);
     std::ostringstream os;
     os << "{\"op\": \"optimizer\""
        << ", \"current_pose\": " << pose_json(req.current_pose)
        << ", \"carrot_pose\": " << pose_json(req.carrot_pose)
-       << ", \"goal_pose\": " << pose_json(req.goal_pose)
-       << ", \"current_vel\": [" << req.vel[0] << ", " << req.vel[1] << ", "
-       << req.vel[2] << "]"
-       << ", \"switch_opt\": " << (req.switch_opt ? "true" : "false")
-       << ", \"control_interval\": " << req.control_interval << "}";
-    const std::string reply = client_.call(os.str());
+       << ", \"goal_pose\": " << pose_json(req.goal_pose) << tail;
+    // A serving restart (or dropped connection) must degrade to the
+    // standard controller exception — recoverable by nav2 — not a dead fd
+    // forever: reconnect once per tick, and surface transport failures as
+    // ControllerException after the client closed the broken socket.
+    if (!client_.connected() && !client_.connect_once(srv_host_, srv_port_)) {
+      throw nav2_core::ControllerException("optimizer service not available");
+    }
+    std::string reply;
+    try {
+      reply = client_.call(os.str());
+    } catch (const std::runtime_error& e) {
+      throw nav2_core::ControllerException(e.what());
+    }
     double out_vel[3] = {0.0, 0.0, 0.0};
     if (!parse_vec3(reply, "output_vel", out_vel)) {
       throw nav2_core::ControllerException(
@@ -457,7 +494,8 @@ class NeoMpcTpuController : public nav2_core::Controller {
   std::shared_ptr<nav2_costmap_2d::Costmap2DROS> costmap_ros_;
   nav2_costmap_2d::Costmap2D* costmap_ = nullptr;
   std::string plugin_name_;
-  std::string plan_frame_;
+  std::string srv_host_;
+  int srv_port_ = 0;
   void* host_ = nullptr;
   nmp_params params_{};
   JsonTcpClient client_;

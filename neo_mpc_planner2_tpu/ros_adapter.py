@@ -272,6 +272,11 @@ class RosOptimizerServer:
         # subscriptions exist so no callback can observe a missing attribute.
         self._last_grid = None
         self._last_meta = None
+        # True after the baseline was DROPPED (oversize update / rejected
+        # stage) rather than never seen: raw updates must then be discarded,
+        # not forwarded, until a full grid restages — forwarding would merge
+        # new-geometry deltas into the stale staged map at wrong world cells.
+        self._baseline_dropped = False
         from geometry_msgs.msg import PolygonStamped  # type: ignore
         from nav_msgs.msg import OccupancyGrid  # type: ignore
 
@@ -309,8 +314,10 @@ class RosOptimizerServer:
                 self.node.get_logger().warn(
                     f"costmap stage rejected: {r['error']}")
                 self._last_grid, self._last_meta = None, None
+                self._baseline_dropped = True
                 return
         self._last_grid, self._last_meta = grid, meta
+        self._baseline_dropped = False
 
     def _on_costmap(self, msg: Any) -> None:
         info = msg.info
@@ -323,8 +330,18 @@ class RosOptimizerServer:
     def _on_costmap_update(self, msg: Any) -> None:
         op = occupancy_grid_update_to_msg(msg)
         if self._last_grid is None:
-            # No full grid seen yet: forward best-effort (another client may
-            # have staged one); the serving session errors harmlessly if not.
+            if self._baseline_dropped:
+                # The baseline was dropped (geometry-change race / rejected
+                # stage), not merely unseen: the staged device map is stale,
+                # so applying raw update cells would merge new-geometry
+                # content at wrong world positions. Discard until the next
+                # periodic full grid restages.
+                self.node.get_logger().warn(
+                    "costmap update discarded: awaiting full-grid restage")
+                return
+            # Pristine startup (no full grid seen by THIS adapter): forward
+            # best-effort — another client may have staged one; the serving
+            # session errors harmlessly if not.
             self.session.handle(op)
             return
         h, w = op["data"].shape
@@ -339,6 +356,7 @@ class RosOptimizerServer:
             # would diff against (and silently merge into) stale geometry.
             self.node.get_logger().warn("costmap update outside the grid")
             self._last_grid, self._last_meta = None, None
+            self._baseline_dropped = True
             return
         # Merge into the baseline and restage through the padded-bbox diff
         # path — same canonical block shapes as full-grid messages, so the

@@ -134,9 +134,18 @@ def test_oversize_update_drops_baseline(server):
     srv.node.publish("/local_costmap/costmap_updates", big)
     assert srv._last_grid is None
     assert srv.node.get_logger().warnings
+    # An in-bounds update racing ahead of the restage must be DISCARDED,
+    # not forwarded blind — its cell coords belong to the new geometry and
+    # the staged device map is stale (round-5 review finding).
+    small = NS(x=0, y=0, width=2, height=2, data=np.full(4, 100, np.int8))
+    srv.node.publish("/local_costmap/costmap_updates", small)
+    assert [o["op"] for o in ops] == ["set_costmap"]
     # Next full grid (same content!) must full-restage, not no-op diff.
     srv.node.publish("/local_costmap/costmap", _grid_msg(base))
     assert [o["op"] for o in ops] == ["set_costmap", "set_costmap"]
+    # And with the baseline restored, updates flow again.
+    srv.node.publish("/local_costmap/costmap_updates", small)
+    assert ops[-1]["op"] == "set_costmap_update"
 
 
 def test_dynamic_parameters(server):

@@ -71,6 +71,11 @@ def server_main(argv=None) -> None:
     ap.add_argument("--slot-ttl", type=float, default=None,
                     help="expire robot slots idle longer than this many "
                          "seconds (default: no TTL, LRU cap only)")
+    ap.add_argument("--fleet-chunk", type=int, default=4096,
+                    help="max lanes per device dispatch for the fleet ops; "
+                         "larger padded fleets run as sequential equal "
+                         "chunks sharing one executable (+4-8%% measured at "
+                         ">=8192 lanes, PERF.md). 0 = always one dispatch")
     ap.add_argument("--product", action="store_true",
                     help="serve PRODUCT mode: the smooth bilinear objective "
                          "+ true predicted footprint through the same SQP "
@@ -92,7 +97,8 @@ def server_main(argv=None) -> None:
           + (" (product mode)" if args.product else ""), file=sys.stderr)
     serve(args.host, args.port, cfg, pipelined=args.pipelined,
           checkpoint_dir=args.checkpoint_dir, max_slots=args.max_slots,
-          slot_ttl=args.slot_ttl, parity=not args.product)
+          slot_ttl=args.slot_ttl, parity=not args.product,
+          fleet_chunk=args.fleet_chunk)
 
 
 def bench_main(argv=None) -> None:

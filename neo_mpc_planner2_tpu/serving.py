@@ -110,8 +110,17 @@ class OptimizerSession:
 
     def __init__(self, cfg: Optional[MpcConfig] = None, pipelined: bool = False,
                  checkpoint_dir: Optional[str] = None, max_slots: int = 1024,
-                 slot_ttl: Optional[float] = None, parity: bool = True):
+                 slot_ttl: Optional[float] = None, parity: bool = True,
+                 fleet_chunk: int = 4096):
         self.cfg = cfg or default_config()
+        # Max lanes per device dispatch for the fleet paths (0 = always one
+        # dispatch). The solve kernels peak at 4096 lanes and roll off ~20 %
+        # above it; sequential 4096-lane dispatches measured +4-8 % at
+        # 8192/16384 lanes AND reuse one executable (PERF.md round 11c
+        # chunking study). Chunking applies only when the padded fleet splits
+        # into equal device-aligned chunks; per-lane results are identical
+        # (lanes are independent — tests pin equality).
+        self.fleet_chunk = int(fleet_chunk)
         # parity=False serves PRODUCT mode (the smooth bilinear objective +
         # true predicted footprint through the same SQP — the recommended
         # non-parity deployment, config.product_config): every executable
@@ -263,6 +272,29 @@ class OptimizerSession:
         if pad % nd:
             pad = -(-pad // nd) * nd
         return pad
+
+    def _chunked_dispatch(self, fn, lane_args, shared_args, lanes: int):
+        """Run a fleet-batched fn over `lanes` lanes, split into sequential
+        `fleet_chunk`-lane device dispatches when the batch divides evenly
+        (kernel throughput peaks at 4096 lanes — see fleet_chunk). Each chunk
+        has identical shapes, so every dispatch reuses ONE compiled
+        executable; lanes are independent, so results are identical to the
+        single-dispatch path. fn returns (packed, state_pytree)."""
+        chunk = self.fleet_chunk
+        nd = jax.device_count()
+        if (chunk <= 0 or lanes <= chunk or lanes % chunk
+                or (nd > 1 and chunk % nd)):
+            return fn(*lane_args, *shared_args)
+        packs, states = [], []
+        for i in range(0, lanes, chunk):
+            sl = slice(i, i + chunk)
+            p, s = fn(*(jax.tree.map(lambda x: x[sl], a) for a in lane_args),
+                      *shared_args)
+            packs.append(p)
+            states.append(s)
+        return (jnp.concatenate(packs, axis=0),
+                jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0),
+                             *states))
 
     @staticmethod
     def _fleet_jit(fn, sharded_args: int, total_args: int):
@@ -908,9 +940,10 @@ class OptimizerSession:
             reqs[i, 3:6] = vel
         if self._tick_batch_fn is None:
             self._build_tick_batch()
-        packed, self._ftick_state = self._tick_batch_fn(
-            self._ftick_state, self._ftick_plans, jnp.asarray(reqs),
-            self.costmap, self.footprint)
+        packed, self._ftick_state = self._chunked_dispatch(
+            self._tick_batch_fn,
+            (self._ftick_state, self._ftick_plans, jnp.asarray(reqs)),
+            (self.costmap, self.footprint), pad)
         vecs = np.asarray(packed)  # ONE batched fetch
         results = []
         for i in range(self._ftick_n):
@@ -988,9 +1021,9 @@ class OptimizerSession:
                                                 default_ci)}, delta_t)
         reqs[n:, 14] = delta_t  # pad lanes share the tick clock
 
-        packed, self._fleet_state = self._fleet_step(
-            self._fleet_state, jnp.asarray(reqs),
-            self.costmap, self.footprint, self._weights, self._limits)
+        packed, self._fleet_state = self._chunked_dispatch(
+            self._fleet_step, (self._fleet_state, jnp.asarray(reqs)),
+            (self.costmap, self.footprint, self._weights, self._limits), pad)
         self._fleet_n = n
 
         n_out = n
@@ -1028,7 +1061,8 @@ def serve(host: str = "127.0.0.1", port: int = 7180,
           cfg: Optional[MpcConfig] = None, ready_event=None,
           pipelined: bool = False,
           checkpoint_dir: Optional[str] = None, max_slots: int = 1024,
-          slot_ttl: Optional[float] = None, parity: bool = True) -> None:
+          slot_ttl: Optional[float] = None, parity: bool = True,
+          fleet_chunk: int = 4096) -> None:
     """Blocking server loop (ros2 run … mpc_optimization_server equivalent,
     README.md:92). checkpoint_dir enables the save_state/load_state ops,
     confined to that directory.
@@ -1044,7 +1078,7 @@ def serve(host: str = "127.0.0.1", port: int = 7180,
     session = OptimizerSession(cfg, pipelined=pipelined,
                                checkpoint_dir=checkpoint_dir,
                                max_slots=max_slots, slot_ttl=slot_ttl,
-                               parity=parity)
+                               parity=parity, fleet_chunk=fleet_chunk)
     lock = threading.Lock()
 
     class Handler(socketserver.StreamRequestHandler):

@@ -217,6 +217,46 @@ class TestFleetBatch:
                     atol=1e-5)
                 assert r["results"][i]["collision"] == ri["collision"]
 
+    def test_chunked_dispatch_matches_single_dispatch(self, cfg):
+        """fleet_chunk splits an oversized padded fleet into sequential
+        equal-chunk dispatches sharing one executable (+4-8 % measured at
+        >=8192 lanes, PERF.md round 11c). Lanes are independent, so every
+        per-lane result and the persistent lane state must match the
+        single-dispatch session (16 lanes / chunk 8 here: two dispatches,
+        each still tiling the 8-device test mesh)."""
+        stage = [
+            {"op": "set_costmap", "data": np.zeros((40, 40)).tolist(),
+             "origin": [-1, -1], "resolution": 0.05},
+            {"op": "set_footprint",
+             "points": [[0.3, 0.2], [-0.3, 0.2], [-0.3, -0.2], [0.3, -0.2]]},
+        ]
+        one = OptimizerSession(cfg, fleet_chunk=0)
+        chunked = OptimizerSession(cfg, fleet_chunk=8)
+        for m in stage:
+            one.handle(m)
+            chunked.handle(m)
+        robots = [self._robot(i) for i in range(16)]
+        for tick in range(3):
+            r1 = one.handle({"op": "optimizer_batch", "delta_t": 0.033,
+                             "robots": robots})
+            r2 = chunked.handle({"op": "optimizer_batch", "delta_t": 0.033,
+                                 "robots": robots})
+            for a, b in zip(r1["results"], r2["results"]):
+                np.testing.assert_allclose(a["output_vel"], b["output_vel"],
+                                           atol=1e-5)
+                assert a["collision"] == b["collision"]
+        np.testing.assert_allclose(
+            np.asarray(one._fleet_state.initial_guess),
+            np.asarray(chunked._fleet_state.initial_guess), atol=1e-5)
+        # A misaligned chunk (not dividing the pad) falls back to one
+        # dispatch rather than mis-tiling.
+        odd = OptimizerSession(cfg, fleet_chunk=3)
+        for m in stage:
+            odd.handle(m)
+        r3 = odd.handle({"op": "optimizer_batch", "delta_t": 0.033,
+                         "robots": robots[:5]})
+        assert len(r3["results"]) == 5
+
     def test_resize_preserves_existing_lanes(self, cfg):
         fleet = OptimizerSession(cfg)
         fleet.handle({"op": "set_costmap", "data": np.zeros((40, 40)).tolist(),

@@ -198,7 +198,10 @@ class MpcConfig:
     # plain lockstep while — the warm alive-set does not collapse below the
     # compact size early enough to amortize the batch-level restructuring
     # (see PERF.md round-8 alive-count histogram). Kept available for
-    # operating points with fatter iteration tails; default off.
+    # operating points with fatter iteration tails; default off. Ignored
+    # (plain path) when solver_costmap_patch > 0: the restructured body
+    # would re-trace the per-solve patch extraction every batch-level trip
+    # (sqp.make_sqp_solver_batched).
     solver_compact_adaptive: bool = False
     # Armijo line-search wave width: candidates 2^-j evaluated per merit
     # evaluation. >1 amortizes the batched costmap gather's fixed overhead

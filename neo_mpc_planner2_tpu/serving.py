@@ -338,6 +338,27 @@ class OptimizerSession:
         return [o.cmd_vel, flag(o.solver_converged), flag(o.solver_iters),
                 flag(o.fun), flag(o.collision), flag(o.collision_footprint)]
 
+    @staticmethod
+    def _pack_tick_extras(o) -> list:
+        """Full-tick extras appended after the _pack_common prefix:
+        [lethal(8), plan_empty(9), carrot(10:13), window begin/end(13:15)].
+        The ONE encode for both full-tick builders (single + batched);
+        _tick_extras_from_vec is its decoder — keep them in lockstep."""
+        f32 = o.cmd_vel.dtype
+        flag = lambda x: x.astype(f32)[None]
+        return [flag(o.lethal), flag(o.plan_empty), o.carrot_pose,
+                flag(o.plan_window_begin), flag(o.plan_window_end)]
+
+    @staticmethod
+    def _tick_extras_from_vec(vec: np.ndarray) -> dict:
+        return {
+            "lethal": bool(vec[8] > 0.5),
+            "plan_empty": bool(vec[9] > 0.5),
+            "carrot_pose": vec[10:13].tolist(),
+            "plan_window": [int(round(float(vec[13]))),
+                            int(round(float(vec[14])))],
+        }
+
     def _rebuild(self) -> None:
         cfg = self.cfg
         solver = make_sqp_solver(cfg, make_objective(cfg, parity=self.parity))
@@ -446,6 +467,16 @@ class OptimizerSession:
         # result (its packed layout follows the OLD control_steps).
         self._clear_pendings()
         self._rebuild()
+        if self.costmap is not None:
+            # Re-derive the staged gather caches under the NEW cfg:
+            # with_flat decides the u8 companion at STAGING time and
+            # make_point_sampler prefers a cached u8 buffer whenever one is
+            # present, so toggling solver_costmap_u8 at runtime would
+            # otherwise silently keep sampling the old source until the next
+            # full set_costmap (round-5 review).
+            h, w = self.costmap.data.shape[-2], self.costmap.data.shape[-1]
+            self.costmap = self.costmap.with_flat(
+                u8=u8_source_enabled(self.cfg.solver_costmap_u8, h * w))
         return {"ok": True, "pipelined": self.pipelined, "retraced": True}
 
     def op_set_costmap(self, msg: dict) -> dict:
@@ -707,15 +738,20 @@ class OptimizerSession:
             # explicitly.
             return {"error": "no footprint set"}
 
+        # Validate (pack) BEFORE touching the slot's stuck-timer clock: a
+        # rejected request must not shrink the retry's measured delta_t
+        # (round-5 review — same ordering as op_optimizer_batch).
+        req = self._pack_req(msg, 0.0)  # one put, one fetch per tick
         slot = self._slot(msg)  # per-robot state/clock/pending
         if "delta_t" in msg:
             delta_t = float(msg["delta_t"])
+            if not np.isfinite(delta_t):
+                return {"error": "delta_t is not finite"}
         else:
             now = time.time()
             delta_t = now - slot["last_time"]
             slot["last_time"] = now
-
-        req = self._pack_req(msg, delta_t)  # one put, one fetch per tick
+        req[14] = delta_t
         packed, slot["state"] = self._step(
             slot["state"], jnp.asarray(req), self.costmap, self.footprint,
             self._weights, self._limits)
@@ -772,16 +808,9 @@ class OptimizerSession:
                                  dt))
             out = step(*args)
             o = jax.tree.map(lambda x: x[0], out)
-            f32 = o.cmd_vel.dtype
-            flag = lambda x: x.astype(f32)[None]
-            packed = jnp.concatenate(pack_common(o) + [   # 0:8 shared prefix
-                flag(o.lethal),                    # 8
-                flag(o.plan_empty),                # 9
-                o.carrot_pose,                     # 10:13
-                flag(o.plan_window_begin),         # 13
-                flag(o.plan_window_end),           # 14
-                o.local_plan.reshape(-1),          # 15:
-            ])
+            packed = jnp.concatenate(                     # 0:8 shared prefix
+                pack_common(o) + self._pack_tick_extras(o)    # 8:15 extras
+                + [o.local_plan.reshape(-1)])                 # 15:
             return packed, o.state
 
         self._tick_fn = jax.jit(tickfn)
@@ -820,13 +849,7 @@ class OptimizerSession:
             jnp.float32(delta_t), self.costmap, self.footprint)
         vec = np.asarray(packed)  # ONE fetch
         resp = self._resp_from_vec(vec, lp_off=15)
-        resp.update({
-            "lethal": bool(vec[8] > 0.5),
-            "plan_empty": bool(vec[9] > 0.5),
-            "carrot_pose": vec[10:13].tolist(),
-            "plan_window": [int(round(float(vec[13]))),
-                            int(round(float(vec[14])))],
-        })
+        resp.update(self._tick_extras_from_vec(vec))
         return resp
 
     def op_set_plans(self, msg: dict) -> dict:
@@ -894,12 +917,9 @@ class OptimizerSession:
             def one(st, pl, rq):
                 o = controller_step(cfg, st, pl, rq[0:3], rq[3:6], costmap,
                                     footprint, rq[6], solver=solver)
-                f32 = o.cmd_vel.dtype
-                flag = lambda x: x.astype(f32)[None]
-                packed = jnp.concatenate(pack_common(o) + [
-                    flag(o.lethal), flag(o.plan_empty), o.carrot_pose,
-                    flag(o.plan_window_begin), flag(o.plan_window_end),
-                    o.local_plan.reshape(-1)])
+                packed = jnp.concatenate(
+                    pack_common(o) + self._pack_tick_extras(o)
+                    + [o.local_plan.reshape(-1)])
                 return packed, o.state
 
             return jax.vmap(one)(state, plans, reqs)
@@ -949,13 +969,7 @@ class OptimizerSession:
         for i in range(self._ftick_n):
             vec = vecs[i]
             resp = self._resp_from_vec(vec, lp_off=15)
-            resp.update({
-                "lethal": bool(vec[8] > 0.5),
-                "plan_empty": bool(vec[9] > 0.5),
-                "carrot_pose": vec[10:13].tolist(),
-                "plan_window": [int(round(float(vec[13]))),
-                                int(round(float(vec[14])))],
-            })
+            resp.update(self._tick_extras_from_vec(vec))
             results.append(resp)
         return {"results": results}
 
@@ -975,7 +989,15 @@ class OptimizerSession:
         keep = min(self._fleet_n, pad)
         self._fleet_state = jax.tree.map(
             lambda f, o: f.at[:keep].set(o[:keep]), fresh, old)
-        self._fleet_pending = None  # pending batch has the old lane layout
+        # _fleet_pending is deliberately KEPT across a resize: surviving
+        # lanes (< min(prev_n, n)) are positionally identical in the pending
+        # packed array, whose old pad stays indexable for them. Clearing it
+        # here made pipelined mode return all-warmup ZERO commands for the
+        # whole fleet on every tick whenever per-tick fleet-size churn
+        # crossed a pad boundary (4<->5 robots: pad 4<->8 resizes every
+        # tick) — the round-2 warmup-starvation bug resurrected at pad
+        # edges (round-5 review). _rebuild still clears it: a cfg change
+        # alters the response layout itself.
 
     def op_optimizer_batch(self, msg: dict) -> dict:
         """Fleet tick: N robots sharing the staged costmap/footprint solved as
@@ -992,6 +1014,19 @@ class OptimizerSession:
         # fleet-size churn then reuses the compiled executable instead of
         # retracing per size, and the lanes tile the device mesh.
         pad = self._fleet_pad(n)
+
+        # VALIDATE (pack every request) before any persistent mutation: a
+        # malformed robot must reject the whole request without advancing
+        # the stuck-timer clock or resetting grown lanes (round-5 review —
+        # a failed-then-retried request otherwise under-accumulates every
+        # blocked robot's waiting_time). delta_t lands in slot 14 afterward.
+        default_ci = msg.get("control_interval", self.cfg.control_interval)
+        reqs = np.zeros((pad, self._REQ_W), np.float32)
+        for i, r in enumerate(robots):
+            reqs[i] = self._pack_req(
+                {**r, "control_interval": r.get("control_interval",
+                                                default_ci)}, 0.0)
+
         if (self._fleet_state is None
                 or int(self._fleet_state.initial_guess.shape[0]) != pad):
             self._resize_fleet(pad)
@@ -1008,18 +1043,13 @@ class OptimizerSession:
 
         if "delta_t" in msg:
             delta_t = float(msg["delta_t"])
+            if not np.isfinite(delta_t):
+                return {"error": "delta_t is not finite"}
         else:
             now = time.time()
             delta_t = now - self._fleet_last_time
             self._fleet_last_time = now
-
-        default_ci = msg.get("control_interval", self.cfg.control_interval)
-        reqs = np.zeros((pad, self._REQ_W), np.float32)
-        for i, r in enumerate(robots):
-            reqs[i] = self._pack_req(
-                {**r, "control_interval": r.get("control_interval",
-                                                default_ci)}, delta_t)
-        reqs[n:, 14] = delta_t  # pad lanes share the tick clock
+        reqs[:, 14] = delta_t  # every lane (incl. pad) shares the tick clock
 
         packed, self._fleet_state = self._chunked_dispatch(
             self._fleet_step, (self._fleet_state, jnp.asarray(reqs)),
@@ -1034,9 +1064,10 @@ class OptimizerSession:
             # Fleet-size churn: surviving lanes (< min(prev_n, n)) get the
             # previous tick's real results; only NEW lanes get a warmup
             # entry (ADVICE round-2 — all-or-nothing warmup starved
-            # every robot under per-tick churn). prev's pad can only differ
-            # from the current one if _resize_fleet ran, which clears
-            # _fleet_pending — so prev's arrays are indexable here.
+            # every robot under per-tick churn). prev survives a resize too
+            # (its packed array keeps the OLD pad, indexable for every
+            # surviving lane — see _resize_fleet); only a cfg rebuild drops
+            # it, because that changes the response layout.
             packed, prev_n = prev
             n_out = min(prev_n, n)
 
@@ -1053,7 +1084,14 @@ class OptimizerSession:
             return {"error": f"unknown op: {op!r}"}
         try:
             return fn(msg)
-        except (KeyError, TypeError, ValueError) as e:
+        except Exception as e:  # noqa: BLE001 — the error NET is the contract
+            # Every op failure must come back as {"error": ...} on the same
+            # connection: an escaping exception kills the handler thread and
+            # the client sees a bare ConnectionError instead of the cause
+            # (round-5 review: checkpoint-op filesystem errors — missing
+            # file, unwritable subdir, absent orbax — fell outside the old
+            # (KeyError, TypeError, ValueError) tuple). Non-Exception exits
+            # (KeyboardInterrupt/SystemExit) still propagate.
             return {"error": f"{type(e).__name__}: {e}"}
 
 

@@ -899,7 +899,17 @@ def make_sqp_solver_batched(cfg: MpcConfig, objective,
                     and batch >= cfg.solver_compact_min_batch)
         use = eligible and 0 < k1 < max_iters_
 
-        if cfg.solver_compact_adaptive and eligible and max_iters_ > 1:
+        # Patch-hoisted sampling (solver_costmap_patch > 0) is incompatible
+        # with the adaptive restructuring: vbody re-enters _lane_fobj inside
+        # the batch-level while body, so the per-solve patch EXTRACTION
+        # (full-map pad + per-lane slice / one-hot window read) would be
+        # re-traced and re-executed every trip — the same re-emitted-hoist
+        # pathology the fpts hoist below fixes for the footprint term
+        # (measured −25 %, round 8). The plain path keeps the hoist (its
+        # lane closures are built outside the solver's while loops), so fall
+        # through to it rather than paying the pathology (round-5 review).
+        if (cfg.solver_compact_adaptive and eligible and max_iters_ > 1
+                and cfg.solver_costmap_patch == 0):
             # Adaptive compaction (difficulty-aware lockstep): instead of a
             # fixed k1 full-batch iterations, run full-batch SQP iterations
             # only WHILE more than compact_n lanes are still alive, then

@@ -174,6 +174,21 @@ def test_partial_reconfigure_merges(cfg):
     assert s.cfg.control_steps == cfg.control_steps
 
 
+def test_configure_u8_toggle_restages_costmap(cfg):
+    """Toggling solver_costmap_u8 at runtime must re-derive the staged
+    gather caches: make_point_sampler prefers a cached u8 buffer whenever
+    one is present, so a stale cache silently pins the old sampling source
+    until the next full set_costmap (round-5 review)."""
+    s = OptimizerSession(cfg)
+    s.handle({"op": "set_costmap", "data": np.zeros((40, 40)).tolist(),
+              "origin": [-1, -1], "resolution": 0.05})
+    assert s.costmap.flat_u8 is None          # default: f32 source
+    s.handle({"op": "configure", "params": {"solver_costmap_u8": True}})
+    assert s.costmap.flat_u8 is not None      # toggle ON takes effect
+    s.handle({"op": "configure", "params": {"solver_costmap_u8": False}})
+    assert s.costmap.flat_u8 is None          # toggle OFF drops the cache
+
+
 class TestFleetBatch:
     """op_optimizer_batch: N robots sharing the staged costmap/footprint
     solved as one batched device dispatch with persistent per-lane state."""
@@ -216,6 +231,51 @@ class TestFleetBatch:
                     r["results"][i]["output_vel"], ri["output_vel"],
                     atol=1e-5)
                 assert r["results"][i]["collision"] == ri["collision"]
+
+    def test_pipelined_churn_across_pad_boundary(self, cfg):
+        """Per-tick fleet-size churn that crosses a pad boundary (4<->5
+        robots: pad 4<->8, so _resize_fleet runs every tick) must still
+        serve SURVIVING lanes the previous tick's real results — clearing
+        the pending on resize made pipelined mode return all-warmup zero
+        commands forever (round-5 review)."""
+        fleet = OptimizerSession(cfg, pipelined=True)
+        fleet.handle({"op": "set_costmap", "data": np.zeros((40, 40)).tolist(),
+                      "origin": [-1, -1], "resolution": 0.05})
+        fleet.handle({"op": "set_footprint",
+                      "points": [[0.3, 0.2], [-0.3, 0.2], [-0.3, -0.2],
+                                 [0.3, -0.2]]})
+        sizes = [5, 4, 5, 4, 5]
+        real = 0
+        for t, nsz in enumerate(sizes):
+            r = fleet.handle({"op": "optimizer_batch", "delta_t": 0.033,
+                              "robots": [self._robot(i) for i in range(nsz)]})
+            if t > 0:
+                # Lanes 0..min(prev,n)-1 survived: their results must be the
+                # previous tick's REAL commands, not warmup zeros.
+                surv = min(nsz, sizes[t - 1])
+                real += sum(not r["results"][i].get("pipelined_warmup", False)
+                            for i in range(surv))
+        assert real > 0  # the old behavior had real == 0 (all warmup, always)
+
+    def test_fleet_clock_not_advanced_by_rejected_request(self, cfg):
+        """A malformed robot rejects the whole batch WITHOUT advancing the
+        stuck-timer clock or lane state (validate-before-mutate)."""
+        fleet = OptimizerSession(cfg)
+        fleet.handle({"op": "set_costmap", "data": np.zeros((40, 40)).tolist(),
+                      "origin": [-1, -1], "resolution": 0.05})
+        fleet.handle({"op": "set_footprint",
+                      "points": [[0.3, 0.2], [-0.3, 0.2], [-0.3, -0.2],
+                                 [0.3, -0.2]]})
+        fleet.handle({"op": "optimizer_batch", "delta_t": 0.033,
+                      "robots": [self._robot(0)]})
+        clock = fleet._fleet_last_time
+        bad = dict(self._robot(1))
+        bad["current_pose"] = [float("nan"), 0, 0]
+        r = fleet.handle({"op": "optimizer_batch",
+                          "robots": [self._robot(0), bad]})
+        assert "error" in r
+        assert fleet._fleet_last_time == clock
+        assert fleet._fleet_n == 1  # grown-lane reset never ran
 
     def test_chunked_dispatch_matches_single_dispatch(self, cfg):
         """fleet_chunk splits an oversized padded fleet into sequential
@@ -412,6 +472,11 @@ def test_serving_state_checkpoint_roundtrip(cfg, tmp_path):
     s0b = staged()
     assert "error" in s0b.handle({"op": "save_state", "path": "/etc/x.npz"})
     assert "error" in s0b.handle({"op": "save_state", "path": "../x.npz"})
+    # Filesystem failures come back as {"error": ...} responses, not
+    # connection-killing escaped exceptions (round-5 review: FileNotFoundError
+    # was outside handle()'s old except tuple).
+    assert "error" in s0b.handle({"op": "load_state", "path": "missing.npz"})
+    assert "error" in s0b.handle({"op": "save_state", "path": "no/dir/x.npz"})
 
     req = {"op": "optimizer", "current_pose": [0, 0, 0],
            "carrot_pose": [0.4, 0.1, 0.2], "goal_pose": [1.0, 0.5, 0.3],

@@ -53,6 +53,11 @@ class NeoMpcController:
         self._costmap: Optional[Costmap] = None
         self._footprint: Optional[Footprint] = None
         self._active = False
+        # 0.0 baseline is REFERENCE PARITY (py:138): the first tick's
+        # wall-clock delta_t is epoch-sized, so a collision latched on the
+        # very first tick has its 3 s stuck-wait instantly expired — the
+        # reference does exactly this. Don't "fix" by stamping at configure;
+        # pass delta_t explicitly for deterministic behavior.
         self._last_time = 0.0
         self._native = None
         self._limits = None
@@ -219,8 +224,14 @@ class NeoMpcController:
                  else speed_limit / base.max_vel_trans)
         scale = float(np.clip(scale, 1e-3, 1.0))
         # cfg mirrors the effective bounds for introspection; the engine is
-        # NOT rebuilt — the limits pytree carries the change.
-        self.cfg = base.replace(
+        # NOT rebuilt — the limits pytree carries the change. Scale the
+        # velocity fields from BASE (so repeated speed-limit calls don't
+        # compound) but apply them onto the CURRENT cfg: replacing cfg
+        # wholesale from base silently reverted later auto-corrections
+        # (e.g. the footprint_edge_samples bump from set_costmap), which
+        # the next set_costmap would then re-apply with a full engine
+        # rebuild mid-mission (round-5 review).
+        self.cfg = self.cfg.replace(
             max_vel_trans=base.max_vel_trans * scale,
             max_vel_x=base.max_vel_x * scale, min_vel_x=base.min_vel_x * scale,
             max_vel_y=base.max_vel_y * scale, min_vel_y=base.min_vel_y * scale,

@@ -34,6 +34,12 @@ MPO700_WIDTH = 0.55
 MPO500_LENGTH = 0.99
 MPO500_WIDTH = 0.67
 
+# Gaussian-blob obstacle width (variance, m²) — the ONE definition shared by
+# blob_maps (device), make_scenario_batch's host synthesis, and
+# simulation.py's incremental-update patch synthesis: the update regime's
+# "sensor belief" patches must match the full-map regimes cell-for-cell.
+BLOB_SIGMA2 = 0.08
+
 
 def mpo700_footprint(max_vertices: int = 8) -> Footprint:
     return Footprint.rectangle(MPO700_LENGTH, MPO700_WIDTH, max_vertices)
@@ -63,7 +69,7 @@ def blob_maps(centers, amp, map_size: int, resolution: float,
     xw = origin[:, 0, None] + c[None, :]          # (B, W) cell-center x
     yw = origin[:, 1, None] + c[None, :]          # (B, H) cell-center y
     batch, n_obstacles = amp.shape
-    sig2 = 0.08
+    sig2 = BLOB_SIGMA2
 
     def blob(i, acc):
         d2 = ((xw[:, None, :] - centers[:, i, 0, None, None]) ** 2
@@ -237,7 +243,7 @@ def make_scenario_batch(
             map_size, resolution, lethal_threshold, clear_corridor_m,
             corridor_max_cost)
     else:
-        sig2 = 0.08
+        sig2 = BLOB_SIGMA2
         d2 = ((xx[None, None] - centers[..., 0, None, None]) ** 2
               + (yy[None, None] - centers[..., 1, None, None]) ** 2)  # (B, O, H, W)
         blobs = amp[..., None, None] * np.exp(-d2 / (2 * sig2))

@@ -237,11 +237,12 @@ def batch_simulate(cfg: MpcConfig, scenario_batch, n_ticks: int,
                      if window_cells is not None and not window_view
                      else world_cells)
     u8 = u8_source_enabled(cfg.solver_costmap_u8, sampled_cells)
-    if costmap.flat is None or (u8 and costmap.flat_u8 is None):
-        costmap = costmap.with_flat(u8=u8)
     if window_cells is not None and not window_view:
-        # materializing slice mode: windows (re-)flatten per tick
+        # materializing slice mode: windows (re-)flatten per tick — never
+        # build (and then throw away) whole-world flat/u8 views here.
         costmap = sb.costmap.replace(flat=None, flat_u8=None)
+    elif costmap.flat is None or (u8 and costmap.flat_u8 is None):
+        costmap = costmap.with_flat(u8=u8)
     if dynamic_obstacles is not None:
         if window_cells is not None:
             raise ValueError(
@@ -252,6 +253,18 @@ def batch_simulate(cfg: MpcConfig, scenario_batch, n_ticks: int,
         h, w = sb.costmap.data.shape[-2], sb.costmap.data.shape[-1]
         if h != w:
             raise ValueError("dynamic_obstacles needs a square grid")
+        # blob_maps shares ONE cell-center grid built from lane 0's
+        # resolution; per-lane resolutions would silently paint lane k's
+        # obstacles at wrong world positions (sampling uses each lane's own
+        # resolution). Reject heterogeneous batches when the values are
+        # concrete (under an outer jit they are tracers — the precondition
+        # then rests on the caller, as documented here).
+        res_arr = sb.costmap.resolution
+        if not isinstance(res_arr, jax.core.Tracer):
+            rnp = np.asarray(res_arr)
+            if rnp.ndim and not np.all(rnp == rnp.flat[0]):
+                raise ValueError("dynamic_obstacles requires one shared "
+                                 "resolution across the batch")
         dyn_centers, dyn_amp, dyn_vel = dynamic_obstacles
     if costmap_updates is not None:
         if window_cells is not None and not window_view:
@@ -298,8 +311,9 @@ def batch_simulate(cfg: MpcConfig, scenario_batch, n_ticks: int,
                    * res[:, None] + res[:, None] / 2)
             d2 = ((wxs[:, None, :] - ct[:, 0, None, None]) ** 2
                   + (wys[:, :, None] - ct[:, 1, None, None]) ** 2)  # (B, U, U)
+            from .scenarios import BLOB_SIGMA2
             blob = jnp.clip(upd_a[:, None, None]
-                            * jnp.exp(-d2 / (2 * 0.08)), 0.0, 1.0)
+                            * jnp.exp(-d2 / (2 * BLOB_SIGMA2)), 0.0, 1.0)
             # One-hot window extraction, not vmapped dynamic_slice: the
             # batched slice lowers to a latency-bound gather (measured
             # 8 ms/tick of the regime's 9 — the content synthesis dwarfed

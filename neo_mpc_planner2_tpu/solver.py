@@ -85,7 +85,15 @@ def _project_box_disk(xy: jnp.ndarray, lo, hi, r) -> jnp.ndarray:
         [edge_pts(lo[0], 0), edge_pts(hi[0], 0), edge_pts(lo[1], 1), edge_pts(hi[1], 1)],
         axis=0,
     )  # (8, 2)
+    # A candidate is only valid if it lies on BOTH sets: when a box bound
+    # exceeds the radius, edge_pts' sqrt(max(r² − coord², 0)) = 0 fabricates
+    # (coord, 0) — a point OUTSIDE the disk that the box-only test accepted,
+    # so the "projection" could violate the max_vel_trans cone (round-5
+    # review, e.g. lo=(-1,-0.1), hi=(1,0.1), r=0.5, xy=(0.9,0.3) returned
+    # (1,0) with speed 1.0). True circle–edge intersections satisfy the disk
+    # test by construction, so this filter removes only the fabricated ones.
     feas = jnp.all((cands >= lo - eps) & (cands <= hi + eps), axis=-1)  # (8,)
+    feas &= jnp.sum(cands**2, axis=-1) <= r**2 + 1e-6
     d2 = jnp.sum((xy[:, None, :] - cands[None, :, :]) ** 2, axis=-1)  # (N, 8)
     d2 = jnp.where(feas[None, :], d2, jnp.inf)
     best = cands[jnp.argmin(d2, axis=-1)]  # (N, 2)
@@ -262,13 +270,27 @@ def make_solver(cfg: MpcConfig, objective, ftol: float | None = None,
     Splits the objective into smooth + prox parts and (in parity mode) hoists
     the decision-variable-independent footprint term out of the loop.
     """
-    from .ops.objective import control_cost, parity_footprint_term
+    from .ops.objective import (control_cost, parity_footprint_term,
+                                resolve_weights)
 
     parity = getattr(objective, "parity", True)
-    lam = cfg.w_control / cfg.control_steps
+    # The prox split is only valid for the UNSQUARED control term (the
+    # reference quirk, compat.unsquared_control_cost=True): the block
+    # soft-threshold is the prox of tau·Σ‖u_i − v‖, NOT of the squared norm.
+    # With the quirk off (smooth product objectives) the control term is
+    # smooth — it belongs in the gradient path (include_control=True), and
+    # the prox degenerates to the pure feasible-set projection (lam=0), per
+    # CompatConfig's documented contract (round-5 review: the old
+    # unconditional split applied a wrong prox to the squared term).
+    prox_ctrl = cfg.compat.unsquared_control_cost
 
     def solve(x0, scen):
         fp_term = parity_footprint_term(scen, cfg) if parity else None
+        # Per-scenario weight overrides (Weights.grid) must reach the prox
+        # threshold too, not just the smooth terms (round-5 review: the
+        # static cfg.w_control silently ignored the weights axis here).
+        wc = resolve_weights(scen, cfg).w_control
+        lam = (wc / cfg.control_steps) if prox_ctrl else 0.0
         sampler = None
         if (not parity and cfg.solver_costmap_patch > 0
                 and scen.costmap.win_cells is None):
@@ -284,9 +306,12 @@ def make_solver(cfg: MpcConfig, objective, ftol: float | None = None,
                 scen.costmap, scen.current_pose[0], scen.current_pose[1],
                 cfg.solver_costmap_patch, exact=cfg.solver_patch_exact_picks)
         f_smooth = lambda u: objective(u, scen, fp_term,
-                                       include_control=False,
+                                       include_control=not prox_ctrl,
                                        point_sampler=sampler)
-        g_ctrl = lambda u: control_cost(u, scen.current_vel, cfg)
+        if prox_ctrl:
+            g_ctrl = lambda u: control_cost(u, scen.current_vel, cfg, wc)
+        else:
+            g_ctrl = lambda u: jnp.zeros(())
         return prox_fista(
             f_smooth, g_ctrl, lam, scen.current_vel, x0, cfg,
             ftol=ftol, max_iters=max_iters, limits=scen.limits,

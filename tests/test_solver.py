@@ -54,6 +54,22 @@ class TestProjection:
         for row in p:
             assert np.hypot(row[0], row[1]) <= cfg.max_vel_trans + 1e-5
 
+    def test_box_bound_exceeding_radius(self, cfg):
+        """Regression (round-5 review): with a box bound OUTSIDE the disk
+        (forward-fast, sideways-slow omni config), the circle-edge candidate
+        fabricated by sqrt(max(r²−coord², 0))=0 lies off the disk and used to
+        be returned — a 'projection' violating max_vel_trans. Checked against
+        scipy on the same feasibility set."""
+        c = cfg.replace(min_vel_x=-1.0, max_vel_x=1.0,
+                        min_vel_y=-0.1, max_vel_y=0.1, max_vel_trans=0.5)
+        z = np.array([0.9, 0.3, 0.0] * 3)
+        got = np.asarray(mpc.project_feasible(
+            jnp.asarray(z, jnp.float32), c)).reshape(3, 3)
+        for row in got:
+            assert np.hypot(row[0], row[1]) <= c.max_vel_trans + 1e-5
+        np.testing.assert_allclose(got.reshape(-1), _scipy_project(z, c),
+                                   atol=2e-4)
+
 
 class TestProxG:
     def test_matches_scipy_prox(self, cfg):

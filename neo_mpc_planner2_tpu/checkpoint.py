@@ -9,6 +9,7 @@ directory path is given (for async, sharded, multi-host fleets).
 
 from __future__ import annotations
 
+import dataclasses
 import os
 from typing import Optional
 
@@ -19,8 +20,10 @@ from .engine import ControlState
 
 __all__ = ["save_state", "load_state"]
 
-_FIELDS = ["initial_guess", "last_control", "waiting_time", "collision",
-           "old_goal", "has_old_goal", "slow_down", "plan_start"]
+# Derived, not hand-listed: a future ControlState field must round-trip too —
+# a stale hand list would write silently-incomplete checkpoints whose loss is
+# discovered only at restore time (round-5 review).
+_FIELDS = [f.name for f in dataclasses.fields(ControlState)]
 
 
 def save_state(path: str, state: ControlState) -> None:
@@ -45,7 +48,11 @@ def load_state(path: str, template: Optional[ControlState] = None) -> ControlSta
 
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(os.path.abspath(path), template)
-    if template is not None and not isinstance(restored, ControlState):
-        restored = ControlState(**{f: restored[f] for f in _FIELDS}) \
-            if isinstance(restored, dict) else restored
+    # Template-LESS restores come back as a plain dict (orbax has no target
+    # structure) — that is exactly the case needing the ControlState wrap;
+    # the old guard required a template and returned the raw dict otherwise,
+    # breaking the "inverse of save_state" contract (round-5 review).
+    if not isinstance(restored, ControlState) and isinstance(restored, dict):
+        restored = ControlState(**{f: jnp.asarray(restored[f])
+                                   for f in _FIELDS})
     return restored

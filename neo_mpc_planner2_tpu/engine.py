@@ -167,7 +167,12 @@ def _post_solve(
     else:
         acc_lim = jnp.asarray(scen.limits.acc, x.dtype)
     acc = acc_lim * ci
-    clamped = jnp.maximum(jnp.minimum(x[:3], last_control + acc), last_control - acc)
+    # fmin/fmax, NOT minimum/maximum: the reference clamps with np.fmin/fmax
+    # (py:384-391; oracle.py mirrors it), which IGNORE a NaN operand — so a
+    # diverged solve's NaN command clamps to the finite last_control±acc band
+    # instead of propagating NaN into cmd_vel and poisoning last_control for
+    # every later tick (round-5 review; identical for finite inputs).
+    clamped = jnp.fmax(jnp.fmin(x[:3], last_control + acc), last_control - acc)
     cmd = jnp.where(blocked, jnp.zeros(3, x.dtype), clamped)
 
     # --- persist (py:393-400) ---
@@ -296,9 +301,18 @@ def _tick_post(pr, state: ControlState, out: StepResult) -> StepResult:
     kept_state = jax.tree.map(lambda pre, post: jnp.where(skip, pre, post),
                               state, out.state)
     cmd = jnp.where(skip, jnp.zeros_like(out.cmd_vel), out.cmd_vel)
+    # The discarded solve's flags must not leak either: on a gate tick the
+    # reference never ran the server, so there are no solve-derived collision
+    # flags to report — leaking them made the response contradict the kept
+    # (pre-tick) latch state a client then observes next tick (round-5
+    # review). Solver diagnostics are masked to the no-solve defaults too.
+    f = jnp.asarray(False)
     return out._replace(
         cmd_vel=cmd,
         state=kept_state,
+        collision=jnp.where(skip, state.collision, out.collision),
+        collision_footprint=jnp.where(skip, f, out.collision_footprint),
+        solver_converged=jnp.where(skip, f, out.solver_converged),
         lethal=pr.lethal,
         plan_empty=pr.plan_empty,
         carrot_pose=pr.carrot_pose,

@@ -198,6 +198,23 @@ class OracleServer:
     acceleration clamp → warm-start shift. Wall-clock is an explicit input."""
 
     def __init__(self, cfg: MpcConfig):
+        # The oracle IS the reference: every §2.3 quirk except buggy_odom_yaw
+        # is hardcoded here (lethal ×1000, unsquared control norm, unwrapped
+        # angles, carrot-aliased terminal, 3.0 s stuck threshold). Validating
+        # a config that disables any of those against this oracle would
+        # silently assert against the wrong ground truth — reject up front
+        # (round-5 review). Product-mode configs cross-check through
+        # solver.make_solver / the quality gates instead, never the oracle.
+        c = cfg.compat
+        unsupported = [name for name, ref_val in (
+            ("footprint_alias_noop", True), ("lethal_1000x", True),
+            ("unsquared_control_cost", True), ("no_angle_wrap", True),
+            ("hardcoded_stuck_wait", True)) if getattr(c, name) is not ref_val]
+        if unsupported:
+            raise ValueError(
+                "OracleServer reproduces the reference exactly; it cannot "
+                f"model compat overrides {unsupported} — use the engine's "
+                "product-mode gates for non-parity configs")
         self.cfg = cfg
         n = cfg.control_steps
         self.bnds = []
